@@ -1,0 +1,161 @@
+"""State-machine training loop: multi-state training with per-state
+optimize sequences.
+
+Parity: /root/reference/deep3dmap/runners/state_machine_runner.py:28 — state
+sequencing by epoch steps (e.g. 'sup' -> 'sup_unsup', or GNeRF 'A' -> 'ABAB'
+-> 'B'), and per-state multi-optimizer inner loops driven by
+``framework.setup_optimize_sequences(state)`` / ``optseq2netnames``.
+
+TPU-native redesign: each (state, opt_seq) pair maps to a separately jitted
+step function whose optax masked transforms update only the sub-network named
+by the sequence — the functional equivalent of per-network optimizer lists.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import optax
+
+from ..parallel.mesh import shard_batch
+from .base_runner import BaseRunner
+from .builder import RUNNERS
+from .train_state import TrainState
+
+
+@RUNNERS.register_module()
+class StateMachineRunner(BaseRunner):
+    def __init__(self, *args, state_seq: Sequence[str] = ("default",),
+                 state_steps: Sequence[int] = (0,), state_switch_by: str = "epoch",
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.state_seq = list(state_seq)
+        self.state_steps = list(state_steps)
+        self.state_switch_by = state_switch_by
+        self.cur_state = self.state_seq[0]
+        self._seq_step_fns: Dict[Tuple[str, str], callable] = {}
+
+    # -- state switching (parity: state_machine_runner.py:73-93) -----------
+    def state_switch(self):
+        progress = self.epoch if self.state_switch_by == "epoch" else self.iter
+        idx = 0
+        for i, start in enumerate(self.state_steps):
+            if progress >= start:
+                idx = i
+        new_state = self.state_seq[idx]
+        if new_state != self.cur_state:
+            self.logger.info(f"state switch: {self.cur_state} -> {new_state}")
+            self.cur_state = new_state
+            if hasattr(self.framework, "on_state_switch"):
+                self.framework.on_state_switch(new_state)
+
+    # -- multi-optimizer step construction ---------------------------------
+    def _get_seq_step(self, state_name: str, opt_seq: str):
+        """Jitted step updating only params selected by the framework's
+        ``optseq2netnames`` mapping, via optax masking."""
+        key = (state_name, opt_seq)
+        if key in self._seq_step_fns:
+            return self._seq_step_fns[key]
+
+        framework, tx = self.framework, self.tx
+        netnames = framework.optseq2netnames(opt_seq) if hasattr(framework, "optseq2netnames") else None
+
+        def _mask(params):
+            if netnames is None:
+                return jax.tree_util.tree_map(lambda _: True, params)
+            # top-level param collections are keyed by sub-network name
+            return {k: jax.tree_util.tree_map(lambda _: k in netnames, v)
+                    for k, v in params.items()}
+
+        masked_tx = optax.masked(tx, _mask)
+
+        def step(train_state: TrainState, batch):
+            rng, sub = jax.random.split(train_state.rng)
+
+            def loss_for(params):
+                return framework.loss_fn(params, train_state.model_state, batch, sub,
+                                         state=state_name, opt_seq=opt_seq)
+
+            (loss, aux), grads = jax.value_and_grad(loss_for, has_aux=True)(train_state.params)
+            updates, opt_state = masked_tx.update(grads, train_state.opt_state, train_state.params)
+            params = optax.apply_updates(train_state.params, updates)
+            new = train_state.replace(step=train_state.step + 1, params=params,
+                                      opt_state=opt_state,
+                                      model_state=aux.get("model_state", train_state.model_state),
+                                      rng=rng)
+            log_vars = dict(aux.get("log_vars", {}))
+            log_vars["loss"] = loss
+            return new, log_vars
+
+        fn = jax.jit(step, donate_argnums=(0,))
+        self._seq_step_fns[key] = fn
+        return fn
+
+    def setup(self, sample_batch, **kwargs):
+        state = super().setup(sample_batch, **kwargs)
+        # masked optimizers share the base tx's init; re-init opt_state per mask
+        # is unnecessary because optax.masked keeps full-tree state.
+        self._seq_step_fns.clear()
+        self.tx_full = self.tx
+        return state
+
+    def run_multi_iter(self, data_batch):
+        """Parity: state_machine_runner.py:115-132 — iterate optimize
+        sequences for the current state within one data batch."""
+        sequences = (self.framework.setup_optimize_sequences(self.cur_state)
+                     if hasattr(self.framework, "setup_optimize_sequences") else [None])
+        batch = shard_batch(data_batch, self.mesh)
+        all_logs = {}
+        for opt_seq in sequences:
+            if opt_seq is None:
+                self.state, log_vars = self.train_step_fn(self.state, batch)
+            else:
+                fn = self._get_seq_step(self.cur_state, opt_seq)
+                self.state, log_vars = fn(self.state, batch)
+            for k, v in log_vars.items():
+                tag = k if opt_seq is None else f"{opt_seq}_{k}"
+                all_logs[tag] = float(jax.device_get(v))
+        self.log_buffer.update(all_logs)
+
+    def train(self, data_loader):
+        self.mode = "train"
+        self.cur_loader = data_loader
+        self.call_hook("before_train_epoch")
+        multi = getattr(self.framework, "is_multi_opt_iters", False)
+        for i, data_batch in enumerate(data_loader):
+            self.inner_iter = i
+            self.call_hook("before_train_iter")
+            if multi:
+                self.run_multi_iter(data_batch)
+            else:
+                self.run_iter(data_batch)
+            self.call_hook("after_train_iter")
+            self.iter += 1
+        self.call_hook("after_train_epoch")
+        self.epoch += 1
+
+    def run(self, data_loaders, workflow=(("train", 1),), max_epochs=None, **kwargs):
+        if max_epochs is not None:
+            self._max_epochs = max_epochs
+        assert self._max_epochs is not None
+        if not isinstance(data_loaders, (list, tuple)):
+            data_loaders = [data_loaders]
+        self._max_iters = self._max_epochs * len(data_loaders[0])
+        self.call_hook("before_run")
+        while self.epoch < self._max_epochs:
+            self.state_switch()
+            for i, (mode, epochs) in enumerate(workflow):
+                for _ in range(epochs):
+                    if mode == "train":
+                        if self.epoch >= self._max_epochs:
+                            break
+                        # pick the loader matching the current state if tagged
+                        loader = data_loaders[i]
+                        for dl in data_loaders:
+                            if getattr(dl, "state", None) == self.cur_state:
+                                loader = dl
+                                break
+                        self.train(loader)
+                    elif mode == "val":
+                        self.val(data_loaders[i])
+        self.call_hook("after_run")
