@@ -1,0 +1,67 @@
+"""Benchmark: NeuralRecon fragment reconstruction throughput on TPU.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: upstream NeuralRecon paper reports ~33 keyframes/s on an RTX 2080 Ti
+(BASELINE.md; the reference repo publishes no numbers of its own, and its demo
+harness computes keyframes/s the same way — /root/reference/demos/
+demo_neucon.py:108-115).  vs_baseline = our keyframes/s / 33.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+BASELINE_KEYFRAMES_PER_S = 33.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from deep3dmap_tpu.datasets.builder import _stack_samples
+    from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
+    from deep3dmap_tpu.models.frameworks.neuralrecon import NeuralRecon
+
+    n_views = 9
+    # production fragment shape: 9 views, 640x480 imgs, 96^3 partial volume
+    model_cfgs = dict(
+        N_LAYER=3, N_VOX=[96, 96, 96], VOXEL_SIZE=0.04,
+        FUSION=dict(FUSION_ON=True, FULL=True), LW=[1.0, 0.8, 0.64],
+        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5, BACKBONE2D=dict(ARC="fpn-mnas-1"))
+    fw = NeuralRecon(model_cfgs)
+
+    sample = make_fragment_sample(seed=0, n_views=n_views, img_size=(480, 640),
+                                  n_vox=96, voxel_size=0.04)
+    batch = _stack_samples([sample])
+
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+
+    fwd = jax.jit(lambda p, s, b: fw.forward_test(p, s, b), donate_argnums=(1,))
+
+    # warmup/compile
+    out, mstate = fwd(params, mstate, batch)
+    jax.block_until_ready(out["tsdf"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, mstate = fwd(params, mstate, batch)
+    jax.block_until_ready(out["tsdf"])
+    dt = (time.perf_counter() - t0) / iters
+
+    kf_per_s = n_views / dt
+    print(json.dumps({
+        "metric": "neuralrecon_keyframes_per_s",
+        "value": round(kf_per_s, 2),
+        "unit": "keyframes/s",
+        "vs_baseline": round(kf_per_s / BASELINE_KEYFRAMES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+from .builder import DATASETS, PIPELINES, build_dataset, build_dataloader
+from .synthetic import SyntheticScanNetDataset, make_fragment_sample
+
+__all__ = [
+    "DATASETS",
+    "PIPELINES",
+    "build_dataset",
+    "build_dataloader",
+    "SyntheticScanNetDataset",
+    "make_fragment_sample",
+]

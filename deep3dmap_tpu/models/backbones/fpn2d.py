@@ -1,0 +1,120 @@
+"""MNASNet-style 2D feature-pyramid backbone (NHWC, flax).
+
+Capability parity with the reference's MnasMulti
+(/root/reference/deep3dmap/models/backbones/mnas_multi.py:22-77): an
+MBConv trunk with three strided stages feeding a top-down FPN that emits
+[C=24 @ 1/4, C=40 @ 1/8, C=80 @ 1/16] feature maps (alpha=1 depths).
+
+TPU-native choices: NHWC layout, GroupNorm instead of BatchNorm (stateless,
+batch-size independent — no running-stat plumbing through the functional
+train step), bfloat16-friendly.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..builder import BACKBONES
+
+
+def _depths(alpha: float) -> list:
+    """MNASNet channel scaling (asymmetric round-to-multiple-of-8)."""
+    base = [32, 16, 24, 40, 80, 96, 192, 320]
+
+    def _round(val, divisor=8, bias=0.9):
+        new = max(divisor, int(val + divisor / 2) // divisor * divisor)
+        return new if new >= bias * val else new + divisor
+
+    return [_round(d * alpha) for d in base]
+
+
+class _GN(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        groups = min(8, x.shape[-1])
+        while x.shape[-1] % groups != 0:
+            groups -= 1
+        return nn.GroupNorm(num_groups=groups)(x)
+
+
+class MBConv(nn.Module):
+    """Inverted residual block: 1x1 expand -> kxk depthwise -> 1x1 project."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    expand: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        mid = in_ch * self.expand
+        h = nn.Conv(mid, (1, 1), use_bias=False)(x)
+        h = _GN()(h)
+        h = nn.relu(h)
+        h = nn.Conv(mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+                    feature_group_count=mid, use_bias=False)(h)
+        h = _GN()(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+        h = _GN()(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class _Stack(nn.Module):
+    out_ch: int
+    kernel: int
+    stride: int
+    expand: int
+    repeats: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = MBConv(self.out_ch, self.kernel, self.stride, self.expand)(x)
+        for _ in range(self.repeats - 1):
+            x = MBConv(self.out_ch, self.kernel, 1, self.expand)(x)
+        return x
+
+
+@BACKBONES.register_module()
+class MnasFPN(nn.Module):
+    """Returns pyramid [1/4 scale (fine), 1/8, 1/16 (coarse)] like the
+    reference's ``outputs[::-1]`` ordering (mnas_multi.py:77)."""
+
+    alpha: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        d = _depths(self.alpha)
+        # stem: conv s2 + depthwise + project (mnasnet layers 0-7)
+        h = nn.Conv(d[0], (3, 3), strides=(2, 2), use_bias=False)(x)
+        h = _GN()(h)
+        h = nn.relu(h)
+        h = nn.Conv(d[0], (3, 3), feature_group_count=d[0], use_bias=False)(h)
+        h = _GN()(h)
+        h = nn.relu(h)
+        h = nn.Conv(d[1], (1, 1), use_bias=False)(h)
+        h = _GN()(h)
+        # stage blocks (mnasnet layers 8,9,10)
+        conv0 = _Stack(d[2], 3, 2, 3, 3)(h)      # 1/4,  24ch
+        conv1 = _Stack(d[3], 5, 2, 3, 3)(conv0)  # 1/8,  40ch
+        conv2 = _Stack(d[4], 5, 2, 6, 3)(conv1)  # 1/16, 80ch
+
+        # top-down FPN
+        final = d[4]
+        intra = nn.Conv(final, (1, 1), use_bias=False)(conv2)
+        out_coarse = intra
+
+        up = jnp.repeat(jnp.repeat(intra, 2, axis=1), 2, axis=2)
+        intra = up + nn.Conv(final, (1, 1))(conv1)
+        out_mid = nn.Conv(d[3], (3, 3), use_bias=False)(intra)
+
+        up = jnp.repeat(jnp.repeat(intra, 2, axis=1), 2, axis=2)
+        intra = up + nn.Conv(final, (1, 1))(conv0)
+        out_fine = nn.Conv(d[2], (3, 3), use_bias=False)(intra)
+
+        return [out_fine, out_mid, out_coarse]

@@ -1,0 +1,122 @@
+"""NeuralRecon end-to-end tests on synthetic fragments."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep3dmap_tpu.datasets.builder import _stack_samples
+from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
+from deep3dmap_tpu.models.frameworks.neuralrecon import NeuralRecon, apply_log_transform
+
+MODEL_CFGS = dict(
+    N_LAYER=3,
+    N_VOX=[24, 24, 24],
+    VOXEL_SIZE=0.08,
+    FUSION=dict(FUSION_ON=True, FULL=True),
+    LW=[1.0, 0.8, 0.64],
+    THRESHOLDS=[0, 0, 0],
+    POS_WEIGHT=1.5,
+    BACKBONE2D=dict(ARC="fpn-mnas-0.5"),
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    samples = [make_fragment_sample(seed=i, n_views=4, img_size=(64, 64),
+                                    n_vox=24, voxel_size=0.08) for i in range(2)]
+    return _stack_samples(samples)
+
+
+@pytest.fixture(scope="module")
+def fw_and_state(batch):
+    fw = NeuralRecon(MODEL_CFGS)
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+    return fw, params, mstate
+
+
+def test_init_and_shapes(batch, fw_and_state):
+    fw, params, mstate = fw_and_state
+    out, new_state = fw._apply(params, mstate, batch)
+    dims = [6, 12, 24]
+    for i, d in enumerate(dims):
+        assert out["tsdf"][i].shape == (2, d, d, d, 1)
+        assert out["occ"][i].shape == (2, d, d, d, 1)
+        assert out["count_mask"][i].shape == (2, d, d, d)
+    # hidden volumes updated
+    for i, v in enumerate(new_state["global_hidden"].volumes):
+        assert v.shape[1] == dims[i]
+
+
+def test_loss_finite_and_backprop(batch, fw_and_state):
+    fw, params, mstate = fw_and_state
+    (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+        params, mstate, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+    for i in range(3):
+        assert np.isfinite(float(aux["log_vars"][f"tsdf_occ_loss_{i}"]))
+
+
+def test_scene_reset_zeroes_hidden(batch, fw_and_state):
+    fw, params, mstate = fw_and_state
+    _, st1 = fw._apply(params, mstate, batch)
+    # run again WITHOUT reset: hidden should persist (nonzero before apply)
+    b_noreset = dict(batch, scene_reset=np.zeros(2, np.float32))
+    _, st2 = fw._apply(params, st1, b_noreset)
+    h1 = np.asarray(st1["global_hidden"].volumes[0])
+    assert np.abs(h1).sum() > 0
+    # with reset the *input* hidden is zeroed; output still updated
+    b_reset = dict(batch, scene_reset=np.ones(2, np.float32))
+    out_r, _ = fw._apply(params, st1, b_reset)
+    out_nr, _ = fw._apply(params, st1, b_noreset)
+    # reset vs no-reset must differ (hidden affects GRU output)
+    diff = np.abs(np.asarray(out_r["tsdf"][0]) - np.asarray(out_nr["tsdf"][0])).max()
+    assert diff > 0
+
+
+def test_overfit_single_fragment():
+    """The flagship sanity check: loss must drop sharply when overfitting one
+    fragment (SURVEY.md §7 stage 3)."""
+    import optax
+
+    sample = make_fragment_sample(seed=3, n_views=4, img_size=(64, 64),
+                                  n_vox=24, voxel_size=0.08)
+    batch = _stack_samples([sample])
+    fw = NeuralRecon(dict(MODEL_CFGS, FUSION=dict(FUSION_ON=False, FULL=False)))
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, mstate, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+            params, mstate, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux["model_state"], loss
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(60):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, mstate, loss = step(params, opt_state, mstate, batch, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[0]:.3f} -> {losses[-1]:.3f}"
+
+
+def test_forward_test_outputs(batch, fw_and_state):
+    fw, params, mstate = fw_and_state
+    out, _ = fw.forward_test(params, mstate, batch)
+    assert out["tsdf"].shape == (2, 24, 24, 24)
+    assert out["occ"].shape == (2, 24, 24, 24)
+    assert float(jnp.max(out["occ"])) <= 1.0
+
+
+def test_apply_log_transform():
+    x = jnp.asarray([-2.0, 0.0, 2.0])
+    y = np.asarray(apply_log_transform(x))
+    np.testing.assert_allclose(y, [-np.log(3), 0, np.log(3)], atol=1e-6)
