@@ -1,5 +1,6 @@
 from .builder import DATASETS, PIPELINES, build_dataset, build_dataloader
 from .synthetic import SyntheticScanNetDataset, make_fragment_sample
+from .face_tuple import SyntheticFaceTupleDataset
 
 __all__ = [
     "DATASETS",

@@ -36,7 +36,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.back_project import back_project_batch
+from ...ops.back_project import back_project_batch, back_project_masked_batch
 from ..backbones.fpn2d import MnasFPN
 from ..builder import RECONSTRUCTORS
 from ..modulars.conv_gru3d import ConvGRU3D
@@ -57,6 +57,19 @@ def apply_log_transform(x):
     return jnp.sign(x) * jnp.log(jnp.abs(x) + 1.0)
 
 
+class _FPNStep(nn.Module):
+    """One view through the FPN — lifted into nn.scan so the V views are
+    processed sequentially with shared params: peak 2D-backbone activation
+    memory is one view instead of nine (the vmapped form OOMs 16G HBM at
+    9 x 640x480), and nn.remat recomputes activations in the backward pass."""
+
+    alpha: float
+
+    @nn.compact
+    def __call__(self, carry, x):
+        return carry, tuple(MnasFPN(alpha=self.alpha, name="fpn")(x))
+
+
 class NeuralReconNet(nn.Module):
     """The jittable network: features -> coarse-to-fine dense pyramid."""
 
@@ -68,6 +81,10 @@ class NeuralReconNet(nn.Module):
     add_coord_feats: bool = True
     out_channels: Sequence[int] = (96, 48, 24)
     thresholds: Sequence[float] = (0.0, 0.0, 0.0)
+    # fixed-capacity active-voxel budget per level (None = dense); the
+    # static-shape analogue of TRAIN_NUM_SAMPLE subsampling
+    # (configs/neural_recon/scannet.py:93 + neucon_network.py:190-194)
+    num_sample: Sequence = (None, None, None)
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, vol_origin_partial,
@@ -89,10 +106,12 @@ class NeuralReconNet(nn.Module):
         B, V = imgs.shape[0], imgs.shape[1]
         n_scales = self.n_layers - 1
 
-        flat = imgs.reshape((B * V,) + imgs.shape[2:])
-        pyramid = MnasFPN(alpha=self.alpha, name="backbone2d")(flat)
-        # pyramid[s]: (B*V, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
-        pyramid = [f.reshape((B, V) + f.shape[1:]) for f in pyramid]
+        ScanFPN = nn.scan(nn.remat(_FPNStep), variable_broadcast="params",
+                          split_rngs={"params": False}, in_axes=0, out_axes=0)
+        imgs_v = jnp.moveaxis(imgs, 1, 0)  # (V, B, H, W, 3)
+        _, pyramid = ScanFPN(alpha=self.alpha, name="backbone2d")(None, imgs_v)
+        # pyramid[s]: (V, B, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
+        pyramid = [jnp.moveaxis(f, 0, 1) for f in pyramid]
 
         outputs: Dict[str, Any] = {"tsdf": [], "occ": [], "count_mask": [],
                                    "sparse_mask": [], "new_hidden": []}
@@ -105,8 +124,15 @@ class NeuralReconNet(nn.Module):
 
             feats = pyramid[scale]
             proj = proj_matrices[:, :, scale]
-            volume, count = back_project_batch(
-                feats, proj, vol_origin_partial, dim, self.voxel_size, interval)
+            cap = self.num_sample[i]
+            if i > 0 and cap is not None and cap < dim ** 3:
+                up_mask = _up2(prev_mask[..., None])[..., 0]
+                volume, count = back_project_masked_batch(
+                    feats, proj, vol_origin_partial, up_mask, cap,
+                    dim, self.voxel_size, interval)
+            else:
+                volume, count = back_project_batch(
+                    feats, proj, vol_origin_partial, dim, self.voxel_size, interval)
             count_mask = count > 1  # seen by >1 view (neucon_network.py:132)
 
             parts = [volume]
@@ -181,6 +207,15 @@ class NeuralRecon(BaseFramework):
         self.pos_weight = cfg.get("POS_WEIGHT", 1.0)
         alpha = float(str(cfg.get("BACKBONE2D", {}).get("ARC", "fpn-mnas-1")).split("-")[-1])
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
+        # active-voxel capacity at level i = 8x the previous level's
+        # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
+        train_ns = cfg.get("TRAIN_NUM_SAMPLE")
+        num_sample = [None] * self.n_layers
+        if train_ns is not None:
+            for i in range(1, self.n_layers):
+                dim_i = self.n_vox // 2 ** (self.n_layers - 1 - i)
+                num_sample[i] = min(int(train_ns[i - 1]) * 8, dim_i ** 3)
+        self.num_sample = tuple(cfg.get("NUM_SAMPLE", num_sample))
         # global hidden-state extent per scale, in that scale's voxel units
         self.global_dims = tuple(cfg.get("GLOBAL_DIMS",
                                          [self.n_vox // 2 ** (self.n_layers - 1 - s)
@@ -190,7 +225,7 @@ class NeuralRecon(BaseFramework):
         self.net = NeuralReconNet(
             n_vox=self.n_vox, n_layers=self.n_layers, voxel_size=self.voxel_size,
             alpha=alpha, fusion_on=self.fusion_on, out_channels=self.out_channels,
-            thresholds=self.thresholds)
+            thresholds=self.thresholds, num_sample=self.num_sample)
 
     # -- helpers -----------------------------------------------------------
     def _window_dims(self):

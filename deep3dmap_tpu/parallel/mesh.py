@@ -103,9 +103,12 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """
     spec = data_spec(mesh, axis)
 
+    n_shards = mesh.shape.get(axis, 1)
+
     def _put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        # replicate scalars and batches not divisible by the data axis
+        if x.ndim == 0 or (n_shards > 1 and x.shape[0] % n_shards != 0):
             return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(x, NamedSharding(mesh, spec))
 

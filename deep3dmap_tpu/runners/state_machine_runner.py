@@ -48,6 +48,10 @@ class StateMachineRunner(BaseRunner):
             self.cur_state = new_state
             if hasattr(self.framework, "on_state_switch"):
                 self.framework.on_state_switch(new_state)
+            # the framework's loss_fn reads its state at trace time — re-jit
+            if self.train_step_fn is not None:
+                self.train_step_fn = self._build_train_step()
+            self._seq_step_fns.clear()
 
     # -- multi-optimizer step construction ---------------------------------
     def _get_seq_step(self, state_name: str, opt_seq: str):
