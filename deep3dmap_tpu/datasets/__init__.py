@@ -1,6 +1,7 @@
 from .builder import DATASETS, PIPELINES, build_dataset, build_dataloader
 from .synthetic import SyntheticScanNetDataset, make_fragment_sample
 from .face_tuple import SyntheticFaceTupleDataset
+from .nerf_synthetic import SyntheticNerfDataset
 
 __all__ = [
     "DATASETS",

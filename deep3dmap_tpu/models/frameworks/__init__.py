@@ -2,5 +2,7 @@ from .base import BaseFramework, parse_losses
 from .neuralrecon import NeuralRecon
 from .prnet import FaceImg2UV
 from .imgs2mesh import Imgs2Mesh
+from .gnerf import GanNerf
 
-__all__ = ["BaseFramework", "parse_losses", "NeuralRecon", "FaceImg2UV", "Imgs2Mesh"]
+__all__ = ["BaseFramework", "parse_losses", "NeuralRecon", "FaceImg2UV",
+           "Imgs2Mesh", "GanNerf"]

@@ -79,19 +79,20 @@ def back_project_sparse(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarr
     wx = jnp.clip(px, 0, W - 1) - x0
     wy = jnp.clip(py, 0, H - 1) - y0
 
-    # single flattened gather across views and taps
+    # single flattened gather across views and ALL 4 bilinear taps: one take
+    # call keeps only one padded gather buffer live at a time
     flat = feats.reshape(V * H * W, C)
-    base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None]
+    base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[None, :, None]
 
-    def tap(yi, xi):
-        idx = base + yi.astype(jnp.int32) * W + xi.astype(jnp.int32)  # (V,K)
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(V, K, C)
+    def _fi(yi, xi):
+        return yi.astype(jnp.int32) * W + xi.astype(jnp.int32)
+
+    idx = jnp.stack([_fi(y0, x0), _fi(y0, x1), _fi(y1, x0), _fi(y1, x1)]) + base
+    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy])
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, V, K, C)
+    f = (g * w[..., None]).sum(axis=0)  # (V,K,C)
 
     vf = valid.astype(feats.dtype)
-    f = (tap(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
-         + tap(y0, x1) * (wx * (1 - wy))[..., None]
-         + tap(y1, x0) * ((1 - wx) * wy)[..., None]
-         + tap(y1, x1) * (wx * wy)[..., None])
     f = f * vf[..., None]
     zv = z * vf
 

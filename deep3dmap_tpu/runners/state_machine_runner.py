@@ -54,24 +54,19 @@ class StateMachineRunner(BaseRunner):
             self._seq_step_fns.clear()
 
     # -- multi-optimizer step construction ---------------------------------
+    # The reference keeps a separate torch optimizer per sub-network
+    # (state_machine_runner.py:62 init_optimizers).  The functional analogue:
+    # opt_state is a dict keyed by the top-level param-collection names, and
+    # each optimize sequence's jitted step runs tx.update only on its
+    # selected sub-networks, passing the rest through untouched.
     def _get_seq_step(self, state_name: str, opt_seq: str):
-        """Jitted step updating only params selected by the framework's
-        ``optseq2netnames`` mapping, via optax masking."""
         key = (state_name, opt_seq)
         if key in self._seq_step_fns:
             return self._seq_step_fns[key]
 
         framework, tx = self.framework, self.tx
-        netnames = framework.optseq2netnames(opt_seq) if hasattr(framework, "optseq2netnames") else None
-
-        def _mask(params):
-            if netnames is None:
-                return jax.tree_util.tree_map(lambda _: True, params)
-            # top-level param collections are keyed by sub-network name
-            return {k: jax.tree_util.tree_map(lambda _: k in netnames, v)
-                    for k, v in params.items()}
-
-        masked_tx = optax.masked(tx, _mask)
+        netnames = (framework.optseq2netnames(opt_seq)
+                    if hasattr(framework, "optseq2netnames") else None)
 
         def step(train_state: TrainState, batch):
             rng, sub = jax.random.split(train_state.rng)
@@ -81,8 +76,12 @@ class StateMachineRunner(BaseRunner):
                                          state=state_name, opt_seq=opt_seq)
 
             (loss, aux), grads = jax.value_and_grad(loss_for, has_aux=True)(train_state.params)
-            updates, opt_state = masked_tx.update(grads, train_state.opt_state, train_state.params)
-            params = optax.apply_updates(train_state.params, updates)
+            params = dict(train_state.params)
+            opt_state = dict(train_state.opt_state)
+            for name in (netnames if netnames is not None else params.keys()):
+                updates, opt_state[name] = tx.update(grads[name], opt_state[name],
+                                                     params[name])
+                params[name] = optax.apply_updates(params[name], updates)
             new = train_state.replace(step=train_state.step + 1, params=params,
                                       opt_state=opt_state,
                                       model_state=aux.get("model_state", train_state.model_state),
@@ -95,13 +94,42 @@ class StateMachineRunner(BaseRunner):
         self._seq_step_fns[key] = fn
         return fn
 
+    def _build_train_step(self):
+        """Single-optimizer path, but over the per-netname opt_state dict."""
+        framework, tx = self.framework, self.tx
+
+        def step(train_state: TrainState, batch):
+            rng, sub = jax.random.split(train_state.rng)
+
+            def loss_for(params):
+                return framework.loss_fn(params, train_state.model_state, batch, sub)
+
+            (loss, aux), grads = jax.value_and_grad(loss_for, has_aux=True)(train_state.params)
+            params = dict(train_state.params)
+            opt_state = dict(train_state.opt_state)
+            for name in params:
+                updates, opt_state[name] = tx.update(grads[name], opt_state[name],
+                                                     params[name])
+                params[name] = optax.apply_updates(params[name], updates)
+            new = train_state.replace(step=train_state.step + 1, params=params,
+                                      opt_state=opt_state,
+                                      model_state=aux.get("model_state", train_state.model_state),
+                                      rng=rng)
+            log_vars = dict(aux.get("log_vars", {}))
+            log_vars["loss"] = loss
+            return new, log_vars
+
+        return jax.jit(step, donate_argnums=(0,))
+
     def setup(self, sample_batch, **kwargs):
         state = super().setup(sample_batch, **kwargs)
-        # masked optimizers share the base tx's init; re-init opt_state per mask
-        # is unnecessary because optax.masked keeps full-tree state.
+        assert isinstance(state.params, dict), \
+            "StateMachineRunner frameworks must expose a dict of param collections"
+        opt_state = {k: self.tx.init(v) for k, v in state.params.items()}
+        self.state = state.replace(opt_state=opt_state)
+        self.train_step_fn = self._build_train_step()
         self._seq_step_fns.clear()
-        self.tx_full = self.tx
-        return state
+        return self.state
 
     def run_multi_iter(self, data_batch):
         """Parity: state_machine_runner.py:115-132 — iterate optimize
