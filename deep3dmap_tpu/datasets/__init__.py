@@ -2,6 +2,7 @@ from .builder import DATASETS, PIPELINES, build_dataset, build_dataloader
 from .synthetic import SyntheticScanNetDataset, make_fragment_sample
 from .face_tuple import SyntheticFaceTupleDataset
 from .nerf_synthetic import SyntheticNerfDataset
+from .face_uv import SyntheticFaceUVDataset
 
 __all__ = [
     "DATASETS",

@@ -79,6 +79,16 @@ def load_checkpoint(path: str, target: Any) -> Any:
     return restored
 
 
+def load_checkpoint_raw(path: str) -> dict:
+    """Structure-free restore: returns the saved pytree as nested dicts of
+    numpy arrays.  For inference-time loading where only params/model_state
+    are needed (the optimizer chain need not be reconstructed)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
 def load_meta(path: str) -> dict:
     mpath = osp.join(path, "meta.json")
     if osp.exists(mpath):
