@@ -3,6 +3,7 @@ from .synthetic import SyntheticScanNetDataset, make_fragment_sample
 from .face_tuple import SyntheticFaceTupleDataset
 from .nerf_synthetic import SyntheticNerfDataset
 from .face_uv import SyntheticFaceUVDataset
+from .gan_faces import SyntheticGanFaceDataset
 
 __all__ = [
     "DATASETS",

@@ -3,6 +3,7 @@ from .neuralrecon import NeuralRecon
 from .prnet import FaceImg2UV
 from .imgs2mesh import Imgs2Mesh
 from .gnerf import GanNerf
+from .gan2shape import Gan2Shape
 
 __all__ = ["BaseFramework", "parse_losses", "NeuralRecon", "FaceImg2UV",
-           "Imgs2Mesh", "GanNerf"]
+           "Imgs2Mesh", "GanNerf", "Gan2Shape"]

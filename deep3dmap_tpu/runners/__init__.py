@@ -14,6 +14,7 @@ from .base_runner import BaseRunner
 from .epoch_based_runner import EpochBasedRunner
 from .iter_based_runner import IterBasedRunner
 from .state_machine_runner import StateMachineRunner
+from .gan2shape_runner import Gan2ShapeRunner
 from .checkpoint import save_checkpoint, load_checkpoint
 
 __all__ = [
@@ -34,6 +35,7 @@ __all__ = [
     "EpochBasedRunner",
     "IterBasedRunner",
     "StateMachineRunner",
+    "Gan2ShapeRunner",
     "save_checkpoint",
     "load_checkpoint",
 ]
