@@ -4,6 +4,7 @@ from .face_tuple import SyntheticFaceTupleDataset
 from .nerf_synthetic import SyntheticNerfDataset
 from .face_uv import SyntheticFaceUVDataset
 from .gan_faces import SyntheticGanFaceDataset
+from .lerf_rays import LERFRayDataset
 
 __all__ = [
     "DATASETS",

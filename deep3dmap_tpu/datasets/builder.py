@@ -71,6 +71,10 @@ def build_dataloader(dataset, samples_per_gpu: int = 1, workers_per_gpu: int = 0
                      num_gpus: int = 1, dist: bool = False, shuffle: bool = True,
                      seed: Optional[int] = None, **kwargs) -> NumpyLoader:
     """Signature-compatible front for the reference's build_dataloader
-    (datasets/builder.py:84).  samples_per_gpu * num_gpus = global batch."""
+    (datasets/builder.py:84).  samples_per_gpu * num_gpus = global batch.
+    Datasets that already yield batches (iterable, no __getitem__ — e.g. the
+    LERF ray datamanager or push-style async datasets) pass through as-is."""
+    if not hasattr(dataset, "__getitem__") and hasattr(dataset, "__iter__"):
+        return dataset
     return NumpyLoader(dataset, batch_size=samples_per_gpu * num_gpus,
                        shuffle=shuffle, seed=seed or 0)
