@@ -128,7 +128,12 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0,
 
 def tsdf_to_mesh(tsdf: np.ndarray, origin=np.zeros(3), voxel_size: float = 1.0,
                  level: float = 0.0, mask: np.ndarray = None):
-    """TSDF volume -> world-space mesh."""
-    verts, faces = marching_tetrahedra(np.asarray(tsdf), level=level, mask=mask)
+    """TSDF volume -> world-space mesh (native C++ path when available)."""
+    if mask is None:
+        from ...native import marching_tets
+
+        verts, faces = marching_tets(np.asarray(tsdf), level)
+    else:
+        verts, faces = marching_tetrahedra(np.asarray(tsdf), level=level, mask=mask)
     verts = verts * voxel_size + np.asarray(origin)[None]
     return verts.astype(np.float32), faces

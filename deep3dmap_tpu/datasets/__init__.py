@@ -5,6 +5,8 @@ from .nerf_synthetic import SyntheticNerfDataset
 from .face_uv import SyntheticFaceUVDataset
 from .gan_faces import SyntheticGanFaceDataset
 from .lerf_rays import LERFRayDataset
+from .scannet import ScanNetDataset
+from . import pipelines  # noqa: F401  (register transforms)
 
 __all__ = [
     "DATASETS",
