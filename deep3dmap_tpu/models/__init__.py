@@ -8,7 +8,7 @@ from .builder import (
     build_reconstruction,
 )
 
-from . import backbones, modulars, frameworks, losses  # noqa: F401  (register)
+from . import backbones, modulars, frameworks, losses, parsing  # noqa: F401  (register)
 
 __all__ = [
     "MODELS",

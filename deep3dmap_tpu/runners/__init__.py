@@ -15,6 +15,7 @@ from .epoch_based_runner import EpochBasedRunner
 from .iter_based_runner import IterBasedRunner
 from .state_machine_runner import StateMachineRunner
 from .gan2shape_runner import Gan2ShapeRunner
+from . import hooks_extra  # noqa: F401  (register)
 from .checkpoint import save_checkpoint, load_checkpoint
 
 __all__ = [

@@ -1,0 +1,186 @@
+"""Additional hooks: EMA, profiler, samplers, buffers, logger backends.
+
+Parity: /root/reference/deep3dmap/runners/hooks/{ema.py:7, profiler.py:12,
+sampler_seed.py, sync_buffer.py, memory.py:8} and hooks/logger/
+{tensorboard,wandb}.py — re-expressed for the functional runner.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional
+
+import jax
+
+from .hooks import HOOKS, Hook
+
+
+@HOOKS.register_module()
+class EMAHook(Hook):
+    """Exponential moving average of params (hooks/ema.py:7).  The EMA tree
+    lives on the runner (``runner.ema_params``) and is updated with a jitted
+    step; swap in for eval with ``apply_ema``/``restore``."""
+
+    PRIORITY = 40
+
+    def __init__(self, momentum: float = 0.0002, interval: int = 1,
+                 warm_up: int = 100):
+        self.momentum = momentum
+        self.interval = interval
+        self.warm_up = warm_up
+        self._update = None
+        self._backup = None
+
+    def before_run(self, runner):
+        # deep copy: the train step donates state buffers, so aliasing the
+        # live params would leave the EMA pointing at deleted arrays
+        runner.ema_params = jax.tree_util.tree_map(lambda x: x.copy(),
+                                                   runner.state.params)
+
+        @jax.jit
+        def update(ema, params, momentum):
+            return jax.tree_util.tree_map(
+                lambda e, p: (1.0 - momentum) * e + momentum * p, ema, params)
+
+        self._update = update
+
+    def after_train_iter(self, runner):
+        if (runner.iter + 1) % self.interval:
+            return
+        # reference ema.py ramps momentum during warmup
+        m = min(self.momentum, (1 + runner.iter) / (self.warm_up + runner.iter))
+        runner.ema_params = self._update(runner.ema_params, runner.state.params, m)
+
+    def apply_ema(self, runner):
+        self._backup = runner.state.params
+        runner.state = runner.state.replace(params=runner.ema_params)
+
+    def restore(self, runner):
+        if self._backup is not None:
+            runner.state = runner.state.replace(params=self._backup)
+            self._backup = None
+
+    def before_val_epoch(self, runner):
+        self.apply_ema(runner)
+
+    def after_val_epoch(self, runner):
+        self.restore(runner)
+
+
+@HOOKS.register_module()
+class ProfilerHook(Hook):
+    """jax.profiler trace over an iteration window (hooks/profiler.py:12);
+    view with TensorBoard or Perfetto."""
+
+    def __init__(self, start_iter: int = 2, n_iters: int = 3,
+                 out_dir: Optional[str] = None):
+        self.start_iter = start_iter
+        self.n_iters = n_iters
+        self.out_dir = out_dir
+        self._active = False
+
+    def before_train_iter(self, runner):
+        if runner.iter == self.start_iter and not self._active:
+            out = self.out_dir or osp.join(runner.work_dir or ".", "profile")
+            jax.profiler.start_trace(out)
+            self._active = True
+
+    def after_train_iter(self, runner):
+        if self._active and runner.iter >= self.start_iter + self.n_iters - 1:
+            jax.profiler.stop_trace()
+            self._active = False
+            runner.logger.info(f"Profiler trace written "
+                               f"({self.start_iter}..{runner.iter})")
+
+    def after_run(self, runner):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+@HOOKS.register_module()
+class DistSamplerSeedHook(Hook):
+    """Reseed shuffling loaders per epoch (hooks/sampler_seed.py)."""
+
+    def before_train_epoch(self, runner):
+        loader = runner.cur_loader
+        if loader is not None and hasattr(loader, "epoch"):
+            loader.epoch = runner.epoch
+
+
+@HOOKS.register_module()
+class SyncBuffersHook(Hook):
+    """No-op on TPU: there are no unsynced module buffers — params and
+    recurrent state live in the (replicated/sharded) TrainState."""
+
+
+@HOOKS.register_module()
+class EmptyCacheHook(Hook):
+    """Best-effort freeing of dead device buffers (hooks/memory.py:8)."""
+
+    def __init__(self, after_epoch: bool = True):
+        self.after_epoch = after_epoch
+
+    def after_train_epoch(self, runner):
+        if self.after_epoch:
+            import gc
+
+            gc.collect()
+
+
+@HOOKS.register_module()
+class TensorboardLoggerHook(Hook):
+    """Scalars to TensorBoard via flax.metrics (hooks/logger/tensorboard.py);
+    silently degrades if the writer is unavailable."""
+
+    PRIORITY = 90
+
+    def __init__(self, interval: int = 50, log_dir: Optional[str] = None):
+        self.interval = interval
+        self.log_dir = log_dir
+        self.writer = None
+
+    def before_run(self, runner):
+        try:
+            from flax.metrics import tensorboard
+
+            self.writer = tensorboard.SummaryWriter(
+                self.log_dir or osp.join(runner.work_dir or ".", "tb"))
+        except Exception as e:  # missing backend
+            runner.logger.warning(f"TensorboardLoggerHook disabled: {e}")
+
+    def after_train_iter(self, runner):
+        if self.writer is None or not self.every_n_iters(runner, self.interval):
+            return
+        runner.log_buffer.average(self.interval)
+        for k, v in runner.log_buffer.output.items():
+            self.writer.scalar(f"train/{k}", v, runner.iter + 1)
+
+    def after_run(self, runner):
+        if self.writer is not None:
+            self.writer.flush()
+
+
+@HOOKS.register_module()
+class WandbLoggerHook(Hook):
+    """W&B scalars (hooks/logger/wandb.py); gated on the package."""
+
+    PRIORITY = 90
+
+    def __init__(self, interval: int = 50, init_kwargs: Optional[dict] = None):
+        self.interval = interval
+        self.init_kwargs = init_kwargs or {}
+        self.run = None
+
+    def before_run(self, runner):
+        try:
+            import wandb
+
+            self.run = wandb.init(**self.init_kwargs)
+        except Exception as e:
+            runner.logger.warning(f"WandbLoggerHook disabled: {e}")
+
+    def after_train_iter(self, runner):
+        if self.run is None or not self.every_n_iters(runner, self.interval):
+            return
+        runner.log_buffer.average(self.interval)
+        self.run.log(dict(runner.log_buffer.output), step=runner.iter + 1)
