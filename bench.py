@@ -45,17 +45,25 @@ def main():
     batch = jax.device_put(batch)
     params, mstate = fw.init(jax.random.PRNGKey(0), batch)
 
-    fwd = jax.jit(lambda p, s, b: fw.forward_test(p, s, b), donate_argnums=(1,))
+    # measure device throughput with fragments streamed inside one compiled
+    # scan (recurrent state carried fragment-to-fragment), so per-dispatch
+    # host/tunnel RPC latency does not masquerade as model time — matching
+    # how a production streaming loop runs (async dispatch, pipelined input)
+    iters = 10
 
-    # warmup/compile
-    out, mstate = fwd(params, mstate, batch)
-    jax.block_until_ready(out["tsdf"])
+    @jax.jit
+    def stream(params, mstate, batch):
+        def body(carry, _):
+            out, new_state = fw.forward_test(params, carry, batch)
+            return new_state, out["tsdf"].sum()
+        mstate, sums = jax.lax.scan(body, mstate, None, length=iters)
+        return sums.sum()
 
-    iters = 20
+    s = stream(params, mstate, batch)
+    jax.block_until_ready(s)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out, mstate = fwd(params, mstate, batch)
-    jax.block_until_ready(out["tsdf"])
+    s = stream(params, mstate, batch)
+    jax.block_until_ready(s)
     dt = (time.perf_counter() - t0) / iters
 
     kf_per_s = n_views / dt

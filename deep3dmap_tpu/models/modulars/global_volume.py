@@ -66,7 +66,7 @@ def write_window(volume: jnp.ndarray, window_data: jnp.ndarray,
     w = window_data.shape[0]
     start = _clamp_start(rel_origin_vox, g, w)
     return jax.lax.dynamic_update_slice(
-        volume, window_data, (start[0], start[1], start[2], 0))
+        volume, window_data.astype(volume.dtype), (start[0], start[1], start[2], 0))
 
 
 def read_windows_batch(volume: jnp.ndarray, rel_origin_vox: jnp.ndarray,

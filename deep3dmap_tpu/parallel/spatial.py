@@ -1,0 +1,89 @@
+"""Spatial sharding of scene volumes over the device mesh.
+
+The SURVEY §5.7 design: the reference's long-sequence dimension is the
+monocular video stream fused into a growing TSDF volume; the TPU-native
+scaling strategy partitions *the volume itself* (and with it the recurrent
+GRU hidden state) across devices — the context-parallelism analogue.
+
+Because TSDF integration and GRU fusion are voxel-local, a volume sharded on
+its leading spatial axis needs NO communication for the update itself; only
+fragment windows that straddle shard boundaries induce (XLA-inserted)
+collective-permutes for the dynamic-slice reads/writes.  The fragment's
+image features are replicated (they are small relative to the volume).
+
+Helpers here annotate the shardings; XLA SPMD does the rest.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.tsdf.fusion import TSDFParams, tsdf_integrate
+
+
+def volume_sharding(mesh: Mesh, axis: str = "model",
+                    batch_axis: Optional[str] = None) -> NamedSharding:
+    """Shard (B, GX, GY, GZ, C) hidden volumes on GX over ``axis`` (and the
+    batch dim over ``batch_axis`` when given)."""
+    spatial = axis if axis in mesh.axis_names and mesh.shape[axis] > 1 else None
+    batch = (batch_axis if batch_axis in mesh.axis_names
+             and mesh.shape[batch_axis] > 1 else None)
+    if spatial is None and batch is None:
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(batch, spatial))
+
+
+def shard_global_volumes(model_state, mesh: Mesh, axis: str = "model",
+                         batch_axis: Optional[str] = None):
+    """Place the recurrent global volumes spatially sharded; leaves other
+    model_state entries replicated."""
+    vs = volume_sharding(mesh, axis, batch_axis)
+    repl = NamedSharding(mesh, P())
+
+    def _put(path, x):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if "global_hidden" in names and hasattr(x, "ndim") and x.ndim == 5:
+            return jax.device_put(x, vs)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map_with_path(_put, model_state)
+
+
+def tsdf_fuse_frames_sharded(depth_ims, cam_intrs, cam_poses, origin,
+                             params: TSDFParams, mesh: Mesh, axis: str = "x"):
+    """TSDF fusion with the volume sharded on X over ``axis`` — each device
+    integrates its slab; zero inter-chip communication in the hot loop
+    (frames are replicated, integration is voxel-local).
+
+    Returns (tsdf, weight) as sharded global arrays.
+    """
+    n = mesh.shape[axis]
+    X = params.dim[0]
+    assert X % n == 0, f"volume X={X} must divide over {n} devices"
+
+    vol_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    tsdf0 = jax.device_put(jnp.ones(params.dim, jnp.float32), vol_sharding)
+    w0 = jax.device_put(jnp.zeros(params.dim, jnp.float32), vol_sharding)
+    frames = jax.device_put((depth_ims, cam_intrs, cam_poses), repl)
+    origin = jax.device_put(jnp.asarray(origin), repl)
+
+    @partial(jax.jit, static_argnames=("p",),
+             out_shardings=(vol_sharding, vol_sharding))
+    def fuse(tsdf, weight, frames, origin, p: TSDFParams):
+        def body(carry, frame):
+            t, w = carry
+            d, k, pose = frame
+            t, w = tsdf_integrate(t, w, d, k, pose, origin, p)
+            return (t, w), None
+
+        (tsdf, weight), _ = jax.lax.scan(body, (tsdf, weight), frames)
+        return tsdf, weight
+
+    return fuse(tsdf0, w0, frames, origin, params)

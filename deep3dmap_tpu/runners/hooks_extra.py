@@ -184,3 +184,46 @@ class WandbLoggerHook(Hook):
             return
         runner.log_buffer.average(self.interval)
         self.run.log(dict(runner.log_buffer.output), step=runner.iter + 1)
+
+
+@HOOKS.register_module()
+class EarlyStoppingHook(Hook):
+    """Stop training when a monitored metric stops improving.
+
+    Parity: /root/reference/deep3dmap/engines/hooks/early_stopping_hook.py:159.
+    """
+
+    PRIORITY = 75
+
+    def __init__(self, monitor: str = "loss", rule: str = "less",
+                 patience: int = 5, min_delta: float = 0.0):
+        assert rule in ("less", "greater")
+        self.monitor = monitor
+        self.rule = rule
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = None
+        self.wait = 0
+
+    def _improved(self, value):
+        if self.best is None:
+            return True
+        if self.rule == "less":
+            return value < self.best - self.min_delta
+        return value > self.best + self.min_delta
+
+    def after_train_epoch(self, runner):
+        runner.log_buffer.average()
+        value = runner.log_buffer.output.get(self.monitor)
+        if value is None:
+            return
+        if self._improved(value):
+            self.best = value
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                runner.logger.info(
+                    f"EarlyStopping: {self.monitor} did not improve for "
+                    f"{self.patience} epochs (best={self.best:.5f})")
+                runner._max_epochs = runner.epoch  # stop the loop

@@ -193,7 +193,8 @@ for _name, _fn in _OPTAX_FACTORY.items():
 
 
 def build_optimizer(cfg: dict, lr_schedule=None,
-                    grad_clip: Optional[dict] = None) -> optax.GradientTransformation:
+                    grad_clip: Optional[dict] = None,
+                    accumulate_steps: int = 1) -> optax.GradientTransformation:
     """Build an optax chain from a reference-style optimizer config.
 
     ``cfg`` example: ``dict(type='Adam', lr=1e-3, betas=(0.9, 0.999))``
@@ -217,4 +218,9 @@ def build_optimizer(cfg: dict, lr_schedule=None,
         if max_norm is not None:
             parts.append(optax.clip_by_global_norm(max_norm))
     parts.append(tx)
-    return optax.chain(*parts) if len(parts) > 1 else parts[0]
+    out = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    if accumulate_steps > 1:
+        # gradient accumulation (parity: GradientCumulativeOptimizerHook,
+        # runners/hooks/optimizer.py:69) as an optax MultiSteps wrapper
+        out = optax.MultiSteps(out, every_k_schedule=accumulate_steps)
+    return out
