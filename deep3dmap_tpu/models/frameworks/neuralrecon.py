@@ -294,7 +294,21 @@ class NeuralRecon(BaseFramework):
         return params, model_state
 
     def compute_level_loss(self, tsdf, occ, tsdf_target, occ_target, mask):
-        """Dense masked version of neucon_network.py:216-260."""
+        """Dense masked version of neucon_network.py:216-260.
+
+        On TPU the fused Pallas kernel (ops/pallas_loss.py) streams all five
+        volumes through VMEM once; the jnp path below is the reference
+        implementation and the off-TPU fallback."""
+        if getattr(self, "use_pallas_loss", None) is None:
+            self.use_pallas_loss = jax.default_backend() == "tpu"
+        if self.use_pallas_loss:
+            from ...ops.pallas_loss import fused_tsdf_occ_loss
+
+            total, occ_loss, tsdf_loss = fused_tsdf_occ_loss(
+                tsdf[..., 0], occ[..., 0], tsdf_target,
+                occ_target.astype(jnp.float32), mask.astype(jnp.float32),
+                self.pos_weight)
+            return total, occ_loss, tsdf_loss
         mask = mask.astype(jnp.float32)
         occ_t = occ_target.astype(jnp.float32)
         n_all = mask.sum()
