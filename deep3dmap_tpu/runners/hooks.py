@@ -190,10 +190,36 @@ class EvalHook(Hook):
 
     PRIORITY = 80
 
-    def __init__(self, interval: int = 1, by_epoch: bool = True, start: Optional[int] = None):
+    def __init__(self, interval: int = 1, by_epoch: bool = True,
+                 start: Optional[int] = None, save_best: Optional[str] = None,
+                 rule: str = "less"):
         self.interval = interval
         self.by_epoch = by_epoch
         self.start = start
+        self.save_best = save_best
+        self.rule = rule
+        self.best = None
+
+    def _maybe_save_best(self, runner):
+        """save_best support (hooks/evaluation.py save_best; the PRNet config
+        uses save_best='nme', configs/prnet/prnet_300wlp.py:79)."""
+        if not self.save_best:
+            return
+        runner.log_buffer.average()
+        val = runner.log_buffer.output.get(f"val_{self.save_best}",
+                                           runner.log_buffer.output.get(self.save_best))
+        if val is None:
+            return
+        better = (self.best is None or
+                  (val < self.best if self.rule == "less" else val > self.best))
+        if better:
+            self.best = val
+            from .checkpoint import save_checkpoint
+            import os.path as osp
+            path = save_checkpoint(osp.join(runner.work_dir, "best"), runner.state,
+                                   meta={"best": float(val),
+                                         "metric": self.save_best})
+            runner.logger.info(f"New best {self.save_best}={val:.5f} -> {path}")
 
     def _should(self, runner):
         idx = runner.epoch if self.by_epoch else runner.iter
@@ -205,10 +231,12 @@ class EvalHook(Hook):
     def after_train_epoch(self, runner):
         if self.by_epoch and self._should(runner) and runner.val_fn is not None:
             runner.val()
+            self._maybe_save_best(runner)
 
     def after_train_iter(self, runner):
         if not self.by_epoch and self._should(runner) and runner.val_fn is not None:
             runner.val()
+            self._maybe_save_best(runner)
 
 
 @HOOKS.register_module()

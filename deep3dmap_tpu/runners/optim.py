@@ -162,6 +162,14 @@ def build_lr_schedule(policy: str, base_lr: float, total_iters: int,
     return _warmup_wrap(sched, warmup, warmup_iters, warmup_ratio)
 
 
+def build_momentum_schedule(policy: str, base_momentum: float, total_iters: int,
+                            **kwargs) -> Callable:
+    """Momentum schedules (parity: MomentumUpdaterHook family,
+    runners/hooks/momentum_updater.py:7-299) — same policy vocabulary as the
+    LR schedules; feed into ``optax.inject_hyperparams`` wrappers."""
+    return build_lr_schedule(policy, base_momentum, total_iters, **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # Optimizers
 # ---------------------------------------------------------------------------
