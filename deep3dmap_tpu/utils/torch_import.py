@@ -1,0 +1,187 @@
+"""Torch-checkpoint -> flax-param importers.
+
+The reference workloads start from pretrained torch checkpoints: the
+StyleGAN2 prior for Gan2Shape (/root/reference/deep3dmap/models/frameworks/
+gan2shape.py:119-131 loads generator/discriminator .pth), the VGG16 LPIPS
+trunk for the perceptual loss (/root/reference/pnpmodules/stylegan2/
+lpips/pretrained_networks.py), and parsing networks.  This module converts
+those state dicts into the NHWC flax trees used here, so reference users can
+carry their checkpoints over.
+
+Conventions converted:
+  torch conv weight  (O, I, kH, kW)  -> flax HWIO (kH, kW, I, O)
+  torch linear weight (O, I)         -> flax (I, O)
+  NCHW constant tensors              -> NHWC
+
+Everything is numpy/host-side; ``state_dict`` values may be torch tensors or
+numpy arrays (we never require torch at import time).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Mapping
+
+import numpy as np
+
+__all__ = [
+    "to_numpy",
+    "conv_kernel",
+    "linear_kernel",
+    "load_torch_state_dict",
+    "import_stylegan2_generator",
+    "import_stylegan2_discriminator",
+    "import_vgg16_features",
+    "fill_like",
+]
+
+
+def to_numpy(t) -> np.ndarray:
+    """torch tensor / array-like -> float32 numpy (host)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def conv_kernel(t) -> np.ndarray:
+    """(O, I, kH, kW) -> (kH, kW, I, O)."""
+    return np.transpose(to_numpy(t), (2, 3, 1, 0))
+
+
+def linear_kernel(t) -> np.ndarray:
+    """(O, I) -> (I, O)."""
+    return to_numpy(t).T
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth checkpoint to a flat {key: numpy} dict (host-side).
+
+    Accepts raw state dicts and the common {'state_dict'|'g_ema'|'g'|'d':
+    ...} wrappers used by stylegan2-pytorch checkpoints."""
+    import torch  # local import: only needed when actually importing .pth
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, Mapping):
+        for key in ("state_dict", "g_ema", "generator", "model"):
+            if key in obj and isinstance(obj[key], Mapping):
+                obj = obj[key]
+                break
+    return {k: to_numpy(v) for k, v in obj.items()
+            if hasattr(v, "shape")}
+
+
+def _strip_module(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+
+def fill_like(template, flat: Dict[str, np.ndarray]):
+    """Build a pytree shaped like ``template`` from a flat '/'-joined dict,
+    asserting every leaf is present with the right shape."""
+    import jax
+
+    flat_template = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in flat_template[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key not in flat:
+            raise KeyError(f"importer missing parameter {key!r} "
+                           f"(expected shape {np.shape(leaf)})")
+        arr = np.asarray(flat[key], np.float32).reshape(np.shape(leaf))
+        leaves.append(arr)
+    extra = set(flat) - {
+        "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        for path, _ in flat_template[0]}
+    if extra:
+        raise KeyError(f"importer produced unknown parameters: {sorted(extra)}")
+    return jax.tree_util.tree_unflatten(flat_template[1], leaves)
+
+
+def _styled_conv(sd: Mapping[str, np.ndarray], src: str, dst: str,
+                 out: Dict[str, np.ndarray]) -> None:
+    """rosinality StyledConv `src.*` -> our StyledConv `dst/*`."""
+    w = to_numpy(sd[f"{src}.conv.weight"])  # (1, O, I, k, k)
+    out[f"{dst}/conv/weight"] = np.transpose(w[0], (2, 3, 1, 0))
+    out[f"{dst}/conv/modulation/weight"] = linear_kernel(sd[f"{src}.conv.modulation.weight"])
+    # our EqualDense 'modulation' adds +1.0 after bias; rosinality stores
+    # bias_init=1 in the bias itself -> subtract the shift once here
+    out[f"{dst}/conv/modulation/bias"] = to_numpy(sd[f"{src}.conv.modulation.bias"]) - 1.0
+    out[f"{dst}/noise_strength"] = to_numpy(sd[f"{src}.noise.weight"]).reshape(())
+    out[f"{dst}/bias"] = to_numpy(sd[f"{src}.activate.bias"])
+
+
+def _to_rgb(sd: Mapping[str, np.ndarray], src: str, dst: str,
+            out: Dict[str, np.ndarray]) -> None:
+    w = to_numpy(sd[f"{src}.conv.weight"])  # (1, 3, I, 1, 1)
+    out[f"{dst}/conv/weight"] = np.transpose(w[0], (2, 3, 1, 0))
+    out[f"{dst}/conv/modulation/weight"] = linear_kernel(sd[f"{src}.conv.modulation.weight"])
+    out[f"{dst}/conv/modulation/bias"] = to_numpy(sd[f"{src}.conv.modulation.bias"]) - 1.0
+    out[f"{dst}/bias"] = to_numpy(sd[f"{src}.bias"]).reshape(3)
+
+
+def import_stylegan2_generator(sd: Mapping[str, np.ndarray], size: int = 128,
+                               n_mlp: int = 8):
+    """rosinality stylegan2-pytorch Generator state dict -> flat param dict
+    keyed 'params/<module>/<leaf>' for our modulars.stylegan2.Generator."""
+    sd = _strip_module(sd)
+    out: Dict[str, np.ndarray] = {}
+    # mapping MLP: style.0 is PixelNorm (no params), style.1..n_mlp EqualLinear
+    for i in range(n_mlp):
+        out[f"mapping/dense_{i}/weight"] = linear_kernel(sd[f"style.{i + 1}.weight"])
+        out[f"mapping/dense_{i}/bias"] = to_numpy(sd[f"style.{i + 1}.bias"])
+    out["input_const"] = np.transpose(to_numpy(sd["input.input"]), (0, 2, 3, 1))
+    _styled_conv(sd, "conv1", "conv1", out)
+    _to_rgb(sd, "to_rgb1", "to_rgb1", out)
+    log_size = int(math.log2(size))
+    for j in range(log_size - 2):
+        res = 8 * (2 ** j)
+        _styled_conv(sd, f"convs.{2 * j}", f"conv_{res}_up", out)
+        _styled_conv(sd, f"convs.{2 * j + 1}", f"conv_{res}", out)
+        _to_rgb(sd, f"to_rgbs.{j}", f"to_rgb_{res}", out)
+    return {"params/" + k: v for k, v in out.items()}
+
+
+def import_stylegan2_discriminator(sd: Mapping[str, np.ndarray],
+                                   size: int = 128,
+                                   channel_multiplier: int = 2):
+    """rosinality Discriminator state dict -> flat dict for our
+    StyleDiscriminator."""
+    sd = _strip_module(sd)
+    out: Dict[str, np.ndarray] = {}
+    out["from_rgb_weight"] = conv_kernel(sd["convs.0.0.weight"])
+    out["frgb_b"] = to_numpy(sd["convs.0.1.bias"])
+    log_size = int(math.log2(size))
+    res = size
+    for i in range(1, log_size - 1):
+        dst = f"block_{res}"
+        out[f"{dst}/conv1_weight"] = conv_kernel(sd[f"convs.{i}.conv1.0.weight"])
+        out[f"{dst}/b1"] = to_numpy(sd[f"convs.{i}.conv1.1.bias"])
+        out[f"{dst}/conv2_weight"] = conv_kernel(sd[f"convs.{i}.conv2.1.weight"])
+        out[f"{dst}/b2"] = to_numpy(sd[f"convs.{i}.conv2.2.bias"])
+        out[f"{dst}/skip_weight"] = conv_kernel(sd[f"convs.{i}.skip.1.weight"])
+        res //= 2
+    out["final_conv_weight"] = conv_kernel(sd["final_conv.0.weight"])
+    out["fc_b"] = to_numpy(sd["final_conv.1.bias"])
+    # torch flattens (C,4,4) row-major; we flatten (4,4,C) -> permute rows
+    w0 = to_numpy(sd["final_linear.0.weight"])  # (O, C*16)
+    ch4 = w0.shape[1] // 16
+    w0 = w0.reshape(-1, ch4, 4, 4).transpose(0, 2, 3, 1).reshape(w0.shape[0], -1)
+    out["final_dense/weight"] = w0.T
+    out["final_dense/bias"] = to_numpy(sd["final_linear.0.bias"])
+    out["out/weight"] = linear_kernel(sd["final_linear.1.weight"])
+    out["out/bias"] = to_numpy(sd["final_linear.1.bias"])
+    return {"params/" + k: v for k, v in out.items()}
+
+
+# torchvision vgg16 `features.` conv indices, in trunk order
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def import_vgg16_features(sd: Mapping[str, np.ndarray]):
+    """torchvision vgg16 state dict (features.N.weight/bias) -> params for
+    losses.perceptual_loss._VGGFeatures (13 convs, NHWC)."""
+    sd = _strip_module(sd)
+    prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+    out: Dict[str, np.ndarray] = {}
+    for n, idx in enumerate(_VGG16_CONV_IDX):
+        out[f"params/Conv_{n}/kernel"] = conv_kernel(sd[f"{prefix}{idx}.weight"])
+        out[f"params/Conv_{n}/bias"] = to_numpy(sd[f"{prefix}{idx}.bias"])
+    return out

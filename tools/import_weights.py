@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Convert reference torch checkpoints into flax .npz weight files.
+
+Reference users carry over their pretrained assets with:
+
+  # rosinality stylegan2-pytorch checkpoint ({'g_ema'|'g': ..., 'd': ...})
+  python tools/import_weights.py stylegan2 ckpt.pth out.npz --size 128
+  # -> out.npz with 'g'/'d' object trees, consumable as Gan2Shape gan_ckpt
+  #    (deep3dmap_tpu/models/frameworks/gan2shape.py loads ["g"]/["d"])
+
+  # torchvision vgg16 (for the LPIPS-style PerceptualLoss weights_path)
+  python tools/import_weights.py vgg16 vgg16.pth out.npz
+
+Parity surface: the reference initializes Gan2Shape from StyleGAN2 .pth
+checkpoints (/root/reference/deep3dmap/models/frameworks/gan2shape.py:119-131)
+and LPIPS from pretrained VGG (/root/reference/pnpmodules/stylegan2/lpips/).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("kind", choices=["stylegan2", "stylegan2_g", "stylegan2_d",
+                                     "vgg16"])
+    ap.add_argument("src", help=".pth checkpoint path")
+    ap.add_argument("dst", help="output .npz path")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--n-mlp", type=int, default=8)
+    ap.add_argument("--channel-multiplier", type=int, default=2)
+    ap.add_argument("--style-dim", type=int, default=512)
+    args = ap.parse_args()
+
+    # host-side conversion tool: never claim the TPU
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import torch  # noqa: F401 (ensure clear error before heavy imports)
+    from deep3dmap_tpu.utils.torch_import import (
+        fill_like, import_stylegan2_discriminator, import_stylegan2_generator,
+        import_vgg16_features, to_numpy)
+
+    raw = torch.load(args.src, map_location="cpu", weights_only=True)
+
+    def tree_for(flat, model, example):
+        import jax
+        template = jax.jit(lambda k: model.init(k, example))(
+            jax.random.PRNGKey(0))
+        return jax.tree_util.tree_map(np.asarray, fill_like(template, flat))
+
+    out = {}
+    if args.kind.startswith("stylegan2"):
+        import jax.numpy as jnp
+        from deep3dmap_tpu.models.modulars.stylegan2 import (Generator,
+                                                             StyleDiscriminator)
+        z = jnp.zeros((1, args.style_dim))
+        img = jnp.zeros((1, args.size, args.size, 3))
+        if args.kind in ("stylegan2", "stylegan2_g"):
+            g_sd = raw.get("g_ema", raw.get("g", raw))
+            g_sd = {k: to_numpy(v) for k, v in g_sd.items() if hasattr(v, "shape")}
+            flat = import_stylegan2_generator(g_sd, size=args.size,
+                                              n_mlp=args.n_mlp)
+            g = Generator(size=args.size, style_dim=args.style_dim,
+                          n_mlp=args.n_mlp,
+                          channel_multiplier=args.channel_multiplier)
+            import jax
+            template = jax.jit(lambda k: g.init({"params": k, "noise": k}, z))(
+                jax.random.PRNGKey(0))
+            out["g"] = np.array(
+                jax.tree_util.tree_map(np.asarray, fill_like(template, flat)),
+                dtype=object)
+        if args.kind in ("stylegan2", "stylegan2_d"):
+            d_sd = raw.get("d", raw)
+            d_sd = {k: to_numpy(v) for k, v in d_sd.items() if hasattr(v, "shape")}
+            flat = import_stylegan2_discriminator(
+                d_sd, size=args.size, channel_multiplier=args.channel_multiplier)
+            d = StyleDiscriminator(size=args.size,
+                                   channel_multiplier=args.channel_multiplier)
+            out["d"] = np.array(tree_for(flat, d, img), dtype=object)
+    else:  # vgg16
+        from deep3dmap_tpu.models.losses.perceptual_loss import _VGGFeatures
+        import jax.numpy as jnp
+        sd = raw.get("state_dict", raw)
+        sd = {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+        flat = import_vgg16_features(sd)
+        out["params"] = np.array(
+            tree_for(flat, _VGGFeatures(), jnp.zeros((1, 64, 64, 3))),
+            dtype=object)
+
+    np.savez(args.dst, **out)
+    for k, v in out.items():
+        n = sum(x.size for x in _leaves(v.item()))
+        print(f"wrote {k}: {n / 1e6:.2f}M params")
+
+
+def _leaves(tree):
+    import jax
+    return jax.tree_util.tree_leaves(tree)
+
+
+if __name__ == "__main__":
+    main()
