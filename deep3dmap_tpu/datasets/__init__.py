@@ -6,6 +6,8 @@ from .face_uv import SyntheticFaceUVDataset
 from .gan_faces import SyntheticGanFaceDataset
 from .lerf_rays import LERFRayDataset
 from .scannet import ScanNetDataset
+from .real_files import (BlenderDataset, CelebaDataset, DTUDataset,
+                         ThreeHundredWLPDataset)
 from . import pipelines  # noqa: F401  (register transforms)
 
 __all__ = [

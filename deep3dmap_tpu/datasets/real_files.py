@@ -1,0 +1,302 @@
+"""Real-file dataset readers: Blender NeRF scenes, DTU, CelebA, 300W-LP.
+
+These read the on-disk formats the reference consumes, producing the same
+item contracts as the synthetic stand-ins so frameworks/configs swap between
+them freely:
+
+- Blender (/root/reference/deep3dmap/datasets/blender.py:11):
+  ``transforms_{split}.json`` + ``{split}/*.png``; intrinsics from
+  camera_angle_x, poses (N, 3, 4).  Items match SyntheticNerfDataset.
+- DTU (dtu.py:10): ``*_3_*.png`` single-light images + ``Cameras/train/
+  %08d_cam.txt`` intrinsic/extrinsic text files; every-8th-view val split.
+- CelebA (celeba.py:27): image-list file + image root + per-image inverted
+  StyleGAN latents (.pt/.npy); pull-model ``setup_input(idx)`` like
+  SyntheticGanFaceDataset.
+- 300W-LP (threehundred_wlp.py:20): list of ``*_inp.jpg`` crops with
+  sibling ``.npy`` UV position maps; NME ``evaluate`` like
+  SyntheticFaceUVDataset.
+
+All readers are host-side (numpy/cv2); device placement happens in the
+loader/sharding layer.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import os.path as osp
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.evaluation.face_eval import eval_nme
+from .builder import DATASETS
+
+
+def _imread_rgb(path: str, img_wh=None) -> np.ndarray:
+    """Read an image file -> float32 RGB (H, W, 3) in [0, 1]."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    if img.shape[-1] == 4:  # RGBA (blender renders): composite on white
+        rgb = img[..., :3].astype(np.float32)
+        a = img[..., 3:4].astype(np.float32) / 255.0
+        img = rgb * a + 255.0 * (1 - a)
+    img = img[..., :3][..., ::-1]  # BGR -> RGB
+    if img_wh is not None and (img.shape[1], img.shape[0]) != tuple(img_wh):
+        img = cv2.resize(img, tuple(img_wh), interpolation=cv2.INTER_AREA)
+    return np.ascontiguousarray(img, np.float32) / 255.0
+
+
+@DATASETS.register_module()
+class BlenderDataset:
+    """NeRF-synthetic (Blender) scene reader."""
+
+    name = "blender"
+
+    def __init__(self, data_dir: str, split: str = "train", img_wh=(400, 400),
+                 white_background: bool = True, pipeline=None, sort_key=None):
+        self.data_dir = data_dir
+        self.split = split
+        self.img_wh = tuple(img_wh)
+        self.pipeline = pipeline
+
+        filenames = sorted(glob.glob(f"{data_dir}/{split}/*.png"),
+                           key=sort_key)
+        if split == "val":
+            filenames = filenames[:8]  # reference validates 8 images
+        if not filenames:
+            raise FileNotFoundError(f"no {split} images under {data_dir}")
+        self.filenames = filenames
+
+        with open(osp.join(data_dir, f"transforms_{split}.json")) as f:
+            meta = json.load(f)
+        poses = [np.asarray(fr["transform_matrix"], np.float32)[:3, :4]
+                 for fr in meta["frames"]]
+        self.poses = np.stack(poses)
+
+        import cv2
+        first = cv2.imread(filenames[0], cv2.IMREAD_UNCHANGED)
+        oh, ow = first.shape[:2]
+        if oh * self.img_wh[0] != ow * self.img_wh[1]:
+            raise ValueError(f"img_wh must keep the {ow}x{oh} aspect ratio")
+        cx, cy = ow // 2, oh // 2
+        focal = 0.5 * ow / np.tan(0.5 * float(meta["camera_angle_x"]))
+        K = np.array([[focal, 0, cx], [0, focal, cy], [0, 0, 1]], np.float32)
+        K[:2] *= np.array([self.img_wh[0] / ow, self.img_wh[1] / oh],
+                          np.float32)[:, None]
+        self.intrinsics = K
+
+        self.images = [_imread_rgb(p, self.img_wh) * 2.0 - 1.0
+                       for p in filenames]
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = dict(imgs=self.images[idx], img_idx=np.int32(idx))
+        return self.pipeline(item) if self.pipeline else item
+
+
+@DATASETS.register_module()
+class DTUDataset:
+    """DTU multi-view stereo scan reader (single light condition)."""
+
+    name = "dtu"
+
+    def __init__(self, data_dir: str, split: str = "train", img_wh=(400, 300),
+                 pipeline=None, sort_key=None, trans_scale: float = 200.0):
+        self.data_dir = data_dir
+        self.split = split
+        self.img_wh = tuple(img_wh)
+        self.pipeline = pipeline
+
+        filenames = sorted(glob.glob(f"{data_dir}/*_3_*.png"), key=sort_key)
+        if not filenames:
+            raise FileNotFoundError(f"no *_3_*.png images under {data_dir}")
+        val_idx = set(range(7, len(filenames), 8))
+        keep = (val_idx if split == "val"
+                else [i for i in range(len(filenames)) if i not in val_idx])
+        self.filenames = [filenames[i] for i in sorted(keep)]
+
+        import cv2
+        first = cv2.imread(self.filenames[0], cv2.IMREAD_UNCHANGED)
+        oh, ow = first.shape[:2]
+
+        cam_dir = osp.join(osp.dirname(osp.dirname(data_dir.rstrip("/"))),
+                           "Cameras", "train")
+        poses, intrinsics = [], []
+        for name in self.filenames:
+            view_id = int(osp.basename(name)[5:8]) - 1
+            cam_file = osp.join(cam_dir, f"{view_id:08d}_cam.txt")
+            with open(cam_file) as f:
+                text = f.read().splitlines()
+            ei = text.index("extrinsic")
+            E = np.array([[float(v) for v in row.split()]
+                          for row in text[ei + 1:ei + 5]], np.float32)
+            ki = text.index("intrinsic")
+            K = np.array([[float(v) for v in row.split()]
+                          for row in text[ki + 1:ki + 4]], np.float32)
+            K[:2] *= 4.0  # cam files are at 1/4 image resolution
+            poses.append(np.linalg.inv(E)[:3, :4])
+            intrinsics.append(K)
+        self.poses = np.stack(poses)
+        self.poses[:, :, 3] /= trans_scale
+        K = np.mean(intrinsics, axis=0)
+        K[:2] *= np.array([self.img_wh[0] / ow, self.img_wh[1] / oh],
+                          np.float32)[:, None]
+        self.intrinsics = K.astype(np.float32)
+
+        self.images = [_imread_rgb(p, self.img_wh) * 2.0 - 1.0
+                       for p in self.filenames]
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = dict(imgs=self.images[idx], img_idx=np.int32(idx))
+        return self.pipeline(item) if self.pipeline else item
+
+
+def _load_latent(path: str) -> np.ndarray:
+    if path.endswith(".npy") or path.endswith(".npz"):
+        arr = np.load(path, allow_pickle=True)
+        if hasattr(arr, "files"):
+            arr = arr[arr.files[0]]
+        return np.asarray(arr, np.float32)
+    import torch
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(t, dict):
+        t = next(iter(t.values()))
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+@DATASETS.register_module()
+class CelebaDataset:
+    """CelebA instance dataset: images + precomputed (inverted) latents."""
+
+    def __init__(self, img_list_path: str, img_root: str, latent_root: str,
+                 image_size: int = 128, crop: Optional[int] = None,
+                 load_gt_depth: bool = False, pipeline=None, **kwargs):
+        self.image_size = image_size
+        self.crop = crop
+        self.load_gt_depth = load_gt_depth
+        self.img_list: List[str] = []
+        self.latent_list: List[str] = []
+        self.depth_list: List[str] = []
+        with open(img_list_path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                img_name = line.split()[0]
+                self.img_list.append(osp.join(img_root, img_name))
+                base = img_name.rsplit(".", 1)[0]
+                lat = osp.join(latent_root, base + ".pt")
+                if not osp.exists(lat):
+                    lat = osp.join(latent_root, base + ".npy")
+                self.latent_list.append(lat)
+                if load_gt_depth:
+                    self.depth_list.append(
+                        osp.join(img_root, img_name).replace("image", "depth"))
+
+    def __len__(self):
+        return len(self.img_list)
+
+    def _center_crop(self, img: np.ndarray) -> np.ndarray:
+        if self.crop is None:
+            return img
+        h, w = img.shape[:2]
+        top, left = (h - self.crop) // 2, (w - self.crop) // 2
+        return img[top:top + self.crop, left:left + self.crop]
+
+    def __getitem__(self, idx: int) -> Dict:
+        import cv2
+        img = _imread_rgb(self.img_list[idx])
+        img = self._center_crop(img)
+        if img.shape[0] != self.image_size:
+            img = cv2.resize(img, (self.image_size,) * 2,
+                             interpolation=cv2.INTER_AREA)
+        item = dict(input_im=(img * 2.0 - 1.0).astype(np.float32),
+                    latent_w=_load_latent(self.latent_list[idx]))
+        if self.load_gt_depth:
+            d = _imread_rgb(self.depth_list[idx])[..., 0]
+            d = self._center_crop(d[..., None])[..., 0]
+            if d.shape[0] != self.image_size:
+                d = cv2.resize(d, (self.image_size,) * 2)
+            item["depth_gt"] = ((1.0 - d) * 2.0 - 1.0).astype(np.float32)
+        return item
+
+    def setup_input(self, idx: int) -> Dict:
+        """Pull-model accessor (celeba.py:167): one batched instance."""
+        s = self[idx % len(self)]
+        return {k: np.asarray(v)[None] for k, v in s.items()}
+
+
+@DATASETS.register_module()
+class ThreeHundredWLPDataset:
+    """300W-LP PRNet training data: ``*_inp.jpg`` crops + ``.npy`` UV maps."""
+
+    CLASSES = ("face",)
+
+    def __init__(self, datapath: str, img_prefix: str = "", pipeline=None,
+                 resolution: int = 256, test_mode: bool = False):
+        self.img_prefix = img_prefix
+        self.resolution = resolution
+        self.test_mode = test_mode
+        self.pipeline = pipeline
+        self.data_infos: List[Dict] = []
+        with open(datapath) as f:
+            for line in f:
+                name = line.strip()
+                if not name:
+                    continue
+                img_file = name.replace(".jpg", "_inp.jpg")
+                uv_file = img_file.replace("_inp.jpg", ".npy")
+                if (osp.exists(osp.join(img_prefix, img_file))
+                        and osp.exists(osp.join(img_prefix, uv_file))):
+                    self.data_infos.append(dict(filename=img_file,
+                                                uv_file=uv_file))
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def __getitem__(self, idx: int) -> Dict:
+        import cv2
+        info = self.data_infos[idx]
+        img = _imread_rgb(osp.join(self.img_prefix, info["filename"]))
+        uv = np.load(osp.join(self.img_prefix, info["uv_file"])).astype(np.float32)
+        S = self.resolution
+        if img.shape[0] != S:
+            img = cv2.resize(img, (S, S), interpolation=cv2.INTER_AREA)
+        if uv.shape[0] != S:
+            scale = S / uv.shape[0]
+            uv = cv2.resize(uv, (S, S), interpolation=cv2.INTER_LINEAR) * scale
+        # normalize positions to [0, 1] like the synthetic contract
+        uv01 = np.clip(uv / max(S - 1, 1), 0.0, 1.0).astype(np.float32)
+        item = dict(faceimg=img.astype(np.float32), gt_uvimg=uv01,
+                    tform_mat=np.eye(3, dtype=np.float32),
+                    gt_kpt_proj2d=np.zeros((2, 68), np.float32))
+        return self.pipeline(item) if self.pipeline else item
+
+    def evaluate(self, results, metric: str = "nme", **kwargs):
+        """NME against landmarks sampled from the GT UV maps
+        (AFLW2000.py:131 contract)."""
+        if metric not in ("nme", "rmse"):
+            raise KeyError(f"metric {metric} is not supported")
+        from ..models.frameworks.prnet import default_uv_kpt_ind
+
+        kpt = np.concatenate(results["kpt"], axis=0)
+        n = min(kpt.shape[0], len(self))
+        ind = default_uv_kpt_ind(self.resolution)
+        gts, tforms = [], []
+        for i in range(n):
+            item = self[i]
+            k = item["gt_uvimg"][ind[1], ind[0], :2].T * 255.0  # (2, 68)
+            gts.append(k)
+            tforms.append(item["tform_mat"])
+        nme = eval_nme(kpt[:n], np.stack(tforms), np.stack(gts))
+        return {"nme": nme}
