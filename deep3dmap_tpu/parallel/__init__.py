@@ -8,6 +8,13 @@ from .mesh import (
     data_spec,
     master_only,
 )
+from .spatial import (
+    conv_gru3d_halo,
+    halo_pad,
+    shard_global_volumes,
+    tsdf_fuse_frames_sharded,
+    volume_sharding,
+)
 
 __all__ = [
     "MeshSpec",
@@ -18,4 +25,9 @@ __all__ = [
     "replicate",
     "data_spec",
     "master_only",
+    "conv_gru3d_halo",
+    "halo_pad",
+    "shard_global_volumes",
+    "tsdf_fuse_frames_sharded",
+    "volume_sharding",
 ]

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
 from ..core.tsdf.fusion import TSDFParams, tsdf_integrate
 
 
@@ -87,3 +92,58 @@ def tsdf_fuse_frames_sharded(depth_ims, cam_intrs, cam_poses, origin,
         return tsdf, weight
 
     return fuse(tsdf0, w0, frames, origin, params)
+
+
+# ------------------------------------------------------- explicit halo SPMD
+def halo_pad(x: jnp.ndarray, axis_name: str, halo: int = 1) -> jnp.ndarray:
+    """Pad a device-local volume block (B, Xl, Y, Z, C) with ``halo`` slabs
+    exchanged from mesh neighbors along ``axis_name`` via ppermute over ICI.
+    Boundary devices receive zeros — matching a global SAME-padded conv."""
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]   # my last slab -> right nbr
+    bwd = [(i + 1, i) for i in range(n - 1)]   # my first slab -> left nbr
+    from_left = jax.lax.ppermute(x[:, -halo:], axis_name, fwd)
+    from_right = jax.lax.ppermute(x[:, :halo], axis_name, bwd)
+    return jnp.concatenate([from_left, x, from_right], axis=1)
+
+
+def _halo_conv3d(x_blk, kernel, bias, axis_name: str):
+    """3D conv (kernel DHWIO, odd size) on an X-sharded block: halo-exchange
+    on X, VALID there, SAME on Y/Z — bitwise-equal to the unsharded conv."""
+    k = kernel.shape[0]
+    halo = k // 2
+    pad = halo_pad(x_blk, axis_name, halo)
+    out = jax.lax.conv_general_dilated(
+        pad, kernel, window_strides=(1, 1, 1),
+        padding=((0, 0), (halo, halo), (halo, halo)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out + bias
+
+
+def conv_gru3d_halo(gru_params, h, x, mesh: Mesh, axis: str = "model"):
+    """ConvGRU3D fusion with the hidden volume sharded on its X axis and
+    *explicit* halo exchange before every gate conv (the §5.7 halo design,
+    rather than leaving boundary windows to XLA's generated collectives).
+
+    gru_params: the ``ConvGRU3D`` param collection ({'convz': {'kernel',
+    'bias'}, 'convr': ..., 'convq': ...}).  h (B, GX, GY, GZ, Ch) hidden and
+    x (B, GX, GY, GZ, Cx) input volumes; GX must divide mesh.shape[axis].
+
+    Exact: each gate conv sees true neighbor data, so the result equals the
+    single-device ConvGRU3D apply on the full volume.
+    """
+    p = gru_params["params"] if "params" in gru_params else gru_params
+
+    def local(h_blk, x_blk, pz, pr, pq):
+        hx = jnp.concatenate([h_blk, x_blk], axis=-1)
+        z = jax.nn.sigmoid(_halo_conv3d(hx, pz["kernel"], pz["bias"], axis))
+        r = jax.nn.sigmoid(_halo_conv3d(hx, pr["kernel"], pr["bias"], axis))
+        rhx = jnp.concatenate([r * h_blk, x_blk], axis=-1)
+        q = jnp.tanh(_halo_conv3d(rhx, pq["kernel"], pq["bias"], axis))
+        return (1.0 - z) * h_blk + z * q
+
+    spec = P(None, axis)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, P(), P(), P()),
+                   out_specs=spec)
+    return fn(h, x, p["convz"], p["convr"], p["convq"])
