@@ -12,9 +12,10 @@ the warped depth is rendered by *softmax-z-buffer point splatting*: each
 warped 3D pixel projects into the target view and deposits exp(-beta*z)
 weighted depth onto its 4 bilinear-neighbor texels via scatter-add — fully
 differentiable, static-shape, O(H*W).  Nearer points dominate as beta grows
-(a soft z-buffer).  Self-occlusion silhouettes are soft rather than hard —
-adequate for the smooth face depths this pipeline fits; a Pallas hard
-rasterizer can substitute later without API change.
+(a soft z-buffer).  With ``raster_mode='hard'`` the Pallas hard z-buffer
+triangle rasterizer (ops/raster_pallas.py) renders instead: sharp
+self-occlusion boundaries forward, soft-splat gradients backward
+(straight-through), matching NMR's hard-coverage/approx-gradient pairing.
 """
 from __future__ import annotations
 
@@ -83,6 +84,7 @@ class NrRenderer:
             "rot_center_depth", (self.min_depth + self.max_depth) / 2)
         self.fov = cfgs.get("fov", 10)
         self.splat_beta = cfgs.get("splat_beta", 20.0)
+        self.raster_mode = cfgs.get("raster_mode", "splat")  # or "hard"
 
         fx = (image_size - 1) / 2 / math.tan(self.fov / 2 * math.pi / 180)
         cx = (image_size - 1) / 2
@@ -143,50 +145,30 @@ class NrRenderer:
     # -- splat depth rendering (replaces NMR render_depth) -----------------
     def splat_depth(self, points3d):
         """Render warped 3D pixels (B, H, W, 3) to a target-view depth map via
-        softmax-z-buffer bilinear splatting."""
-        b, h, w, _ = points3d.shape
-        z = jnp.maximum(points3d[..., 2], EPS)
-        proj = points3d / z[..., None]
-        pix = (proj @ self.K.T)[..., :2]  # (B,H,W,2) x,y in pixels
-        px, py = pix[..., 0].reshape(b, -1), pix[..., 1].reshape(b, -1)
-        zf = z.reshape(b, -1)
+        softmax-z-buffer bilinear splatting (ops.raster_pallas shares the
+        implementation for the straight-through backward)."""
+        from ...ops.raster_pallas import splat_depth_soft
 
-        # soft z-buffer weight: nearer -> exponentially larger; stabilized by
-        # the per-sample min depth (softmax-style) so coverage never underflows
-        z_norm = (zf - self.min_depth) / max(self.max_depth - self.min_depth, 1e-6)
-        z_norm = z_norm - jax.lax.stop_gradient(z_norm.min(axis=1, keepdims=True))
-        wz = jnp.exp(-self.splat_beta * z_norm)
+        return splat_depth_soft(points3d, self.K, self.min_depth,
+                                self.max_depth, self.splat_beta)
 
-        x0 = jnp.floor(px)
-        y0 = jnp.floor(py)
-        out_num = jnp.zeros((b, h * w))
-        out_den = jnp.zeros((b, h * w))
+    def raster_depth(self, points3d):
+        """Hard z-buffer triangle rasterization with straight-through
+        gradients (Pallas kernel; interpret mode off-TPU)."""
+        from ...ops.raster_pallas import raster_depth_st
 
-        def scat(num, den, xi, yi, wgt):
-            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            idx = jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w + \
-                jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            wgt = wgt * inb
-            num = jax.vmap(lambda n, i, v: n.at[i].add(v))(num, idx, wgt * wz * zf)
-            den = jax.vmap(lambda d, i, v: d.at[i].add(v))(den, idx, wgt * wz)
-            return num, den
-
-        wx = px - x0
-        wy = py - y0
-        for dx, dy, wgt in ((0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
-                            (0, 1, (1 - wx) * wy), (1, 1, wx * wy)):
-            out_num, out_den = scat(out_num, out_den, x0 + dx, y0 + dy, wgt)
-
-        depth = out_num / jnp.maximum(out_den, EPS)
-        covered = out_den > 1e-4
-        depth = jnp.where(covered, depth, self.max_depth)
-        return depth.reshape(b, h, w)
+        interpret = jax.default_backend() != "tpu"
+        return raster_depth_st(points3d, self.K, self.min_depth,
+                               self.max_depth, self.splat_beta, interpret)
 
     def warp_canon_depth(self, canon_depth, rot_mat, trans_xyz):
         """Canonical depth -> depth seen from the transformed view
         (renderer_nr.py:116-125)."""
         warped_pts = self.get_warped_3d_grid(canon_depth, rot_mat, trans_xyz)
-        warped_depth = self.splat_depth(warped_pts)
+        if self.raster_mode == "hard":
+            warped_depth = self.raster_depth(warped_pts)
+        else:
+            warped_depth = self.splat_depth(warped_pts)
         margin = (self.max_depth - self.min_depth) / 2
         return jnp.clip(warped_depth, self.min_depth - margin, self.max_depth + margin)
 
