@@ -52,12 +52,18 @@ def precompute_uv_rasterization(uvs: np.ndarray, triangles: np.ndarray,
         if xmax < xmin or ymax < ymin:
             continue
         xs, ys = np.meshgrid(np.arange(xmin, xmax + 1), np.arange(ymin, ymax + 1))
-        d = np.cross(pb - pa, pc - pa)
+
+        def cross2(u, v):
+            # z-component of the 2D cross product (np.cross on 2-vectors is
+            # deprecated since numpy 2.0)
+            return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+        d = cross2(pb - pa, pc - pa)
         if abs(d) < 1e-12:
             continue
         p = np.stack([xs, ys], axis=-1).astype(np.float64)
-        w0 = np.cross(pb - p, pc - p) / d
-        w1 = np.cross(pc - p, pa - p) / d
+        w0 = cross2(pb - p, pc - p) / d
+        w1 = cross2(pc - p, pa - p) / d
         w2 = 1.0 - w0 - w1
         inside = (w0 >= -1e-9) & (w1 >= -1e-9) & (w2 >= -1e-9)
         yy, xx = ys[inside], xs[inside]

@@ -8,6 +8,8 @@ from .lerf_rays import LERFRayDataset
 from .scannet import ScanNetDataset
 from .real_files import (BlenderDataset, CelebaDataset, DTUDataset,
                          ThreeHundredWLPDataset)
+from .async_producer import (AsyncProducerDataset, FaceImagesAsyncDataset,
+                             FaceTexUVAsyncDataset)
 from . import pipelines  # noqa: F401  (register transforms)
 
 __all__ = [

@@ -200,19 +200,97 @@ for _name, _fn in _OPTAX_FACTORY.items():
     OPTIMIZERS.register_module(name=_name, module=_fn)
 
 
+# ---------------------------------------------------------------------------
+# paramwise options (DefaultOptimizerConstructor parity)
+# ---------------------------------------------------------------------------
+
+_NORM_MARKERS = ("groupnorm", "layernorm", "batchnorm", "norm")
+
+
+def _leaf_path_str(path) -> str:
+    return ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path).lower()
+
+
+def _lr_mult_for(path: str, pw: dict) -> float:
+    custom = pw.get("custom_keys", {})
+    for key in sorted(custom, key=len, reverse=True):  # longest match wins
+        if key.lower() in path:
+            return float(custom[key].get("lr_mult", 1.0))
+    if path.endswith("bias") and not any(m in path for m in _NORM_MARKERS):
+        return float(pw.get("bias_lr_mult", 1.0))
+    return 1.0
+
+
+def _decay_mult_for(path: str, pw: dict) -> float:
+    custom = pw.get("custom_keys", {})
+    for key in sorted(custom, key=len, reverse=True):
+        if key.lower() in path:
+            return float(custom[key].get("decay_mult", 1.0))
+    if any(m in path for m in _NORM_MARKERS):
+        return float(pw.get("norm_decay_mult", 1.0))
+    if path.endswith("bias"):
+        return float(pw.get("bias_decay_mult", 1.0))
+    return 1.0
+
+
+def _paramwise_transforms(paramwise_cfg: dict, weight_decay: float):
+    """Two optax transforms realizing DefaultOptimizerConstructor's
+    custom_keys/bias_lr_mult/bias_decay_mult/norm_decay_mult options
+    (/root/reference/deep3dmap/runners/optimizer/default_constructor.py:14):
+    (pre) L2 weight decay with per-leaf multipliers into the gradients —
+    torch optimizer weight_decay semantics — and (post) per-leaf lr scaling
+    of the final updates."""
+    import jax
+
+    def mult_tree(params, fn):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: fn(_leaf_path_str(p), paramwise_cfg), params)
+
+    def decay_init(params):
+        return mult_tree(params, _decay_mult_for)
+
+    def decay_update(updates, state, params=None):
+        if weight_decay and params is not None:
+            updates = jax.tree_util.tree_map(
+                lambda g, p, m: g + weight_decay * m * p, updates, params, state)
+        return updates, state
+
+    def lr_init(params):
+        return mult_tree(params, _lr_mult_for)
+
+    def lr_update(updates, state, params=None):
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, state)
+        return updates, state
+
+    return (optax.GradientTransformation(decay_init, decay_update),
+            optax.GradientTransformation(lr_init, lr_update))
+
+
 def build_optimizer(cfg: dict, lr_schedule=None,
                     grad_clip: Optional[dict] = None,
-                    accumulate_steps: int = 1) -> optax.GradientTransformation:
+                    accumulate_steps: int = 1,
+                    paramwise_cfg: Optional[dict] = None
+                    ) -> optax.GradientTransformation:
     """Build an optax chain from a reference-style optimizer config.
 
     ``cfg`` example: ``dict(type='Adam', lr=1e-3, betas=(0.9, 0.999))``
     (parity: /root/reference/configs/neural_recon/scannet.py:128).
     ``grad_clip`` example: ``dict(max_norm=1.0)``
     (parity: optimizer_config at scannet.py:119).
+    ``paramwise_cfg``: DefaultOptimizerConstructor options — ``custom_keys``
+    (substring -> dict(lr_mult, decay_mult)), ``bias_lr_mult``,
+    ``bias_decay_mult``, ``norm_decay_mult``.
     """
     cfg = dict(cfg)
     opt_type = cfg.pop("type")
     base_lr = cfg.pop("lr")
+    pw_decay = pw_lr = None
+    if paramwise_cfg:
+        # decay handled by the paramwise transform; keep it out of the opt
+        weight_decay = float(cfg.pop("weight_decay", 0.0))
+        pw_decay, pw_lr = _paramwise_transforms(dict(paramwise_cfg),
+                                                weight_decay)
     factory = OPTIMIZERS.get(opt_type)
     if factory is None:
         raise KeyError(f"optimizer {opt_type} not registered")
@@ -225,7 +303,11 @@ def build_optimizer(cfg: dict, lr_schedule=None,
         max_norm = grad_clip.get("max_norm")
         if max_norm is not None:
             parts.append(optax.clip_by_global_norm(max_norm))
+    if pw_decay is not None:
+        parts.append(pw_decay)
     parts.append(tx)
+    if pw_lr is not None:
+        parts.append(pw_lr)
     out = optax.chain(*parts) if len(parts) > 1 else parts[0]
     if accumulate_steps > 1:
         # gradient accumulation (parity: GradientCumulativeOptimizerHook,

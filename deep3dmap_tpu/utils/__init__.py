@@ -6,6 +6,7 @@ from .meters import AverageMeter, StandardMetrics
 from .message_hub import MessageHub, HistoryBuffer
 from .analysis import count_params, get_model_complexity_info
 from .weight_init import build_initializer, apply_init_cfg
+from .structures import BaseDataElement, InstanceData, PixelData
 from . import fileio
 
 __all__ = [
@@ -23,5 +24,8 @@ __all__ = [
     "get_model_complexity_info",
     "build_initializer",
     "apply_init_cfg",
+    "BaseDataElement",
+    "InstanceData",
+    "PixelData",
     "fileio",
 ]
