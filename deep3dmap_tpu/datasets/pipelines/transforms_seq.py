@@ -14,6 +14,31 @@ from ...datasets.synthetic import align_xyplane_rotation, build_proj_matrices
 from ..builder import PIPELINES
 
 
+@PIPELINES.register_module()
+class SeqToTensor:
+    """Stack per-view lists into float32 arrays (transforms_seq.py:26
+    SeqToTensor — NHWC here, no CHW transpose)."""
+
+    def __init__(self, imgslike_keys=("imgs",), common_keys=("extrinsics",),
+                 iter_keys=("tsdf_list_full",)):
+        self.imgslike_keys = imgslike_keys
+        self.common_keys = common_keys
+        self.iter_keys = iter_keys
+
+    def __call__(self, data):
+        for key in self.imgslike_keys:
+            if key in data and isinstance(data[key], (list, tuple)):
+                data[key] = np.stack(
+                    [np.asarray(v, np.float32) for v in data[key]])
+        for key in self.common_keys:
+            if key in data:
+                data[key] = np.asarray(data[key], np.float32)
+        for key in self.iter_keys:
+            if key in data and isinstance(data[key], (list, tuple)):
+                data[key] = [np.asarray(v, np.float32) for v in data[key]]
+        return data
+
+
 @PIPELINES.register_module(name=["SeqResizeImage", "SeqResizeImage968x1296"])
 class SeqResizeImage:
     """Resize each view + rescale intrinsics; pads 1296x968 ScanNet frames to

@@ -52,7 +52,7 @@ def _imread_rgb(path: str, img_wh=None) -> np.ndarray:
     return np.ascontiguousarray(img, np.float32) / 255.0
 
 
-@DATASETS.register_module()
+@DATASETS.register_module(name=["BlenderDataset", "Blender"])
 class BlenderDataset:
     """NeRF-synthetic (Blender) scene reader."""
 
@@ -102,7 +102,7 @@ class BlenderDataset:
         return self.pipeline(item) if self.pipeline else item
 
 
-@DATASETS.register_module()
+@DATASETS.register_module(name=["DTUDataset", "DTU"])
 class DTUDataset:
     """DTU multi-view stereo scan reader (single light condition)."""
 
@@ -299,4 +299,68 @@ class ThreeHundredWLPDataset:
             gts.append(k)
             tforms.append(item["tform_mat"])
         nme = eval_nme(kpt[:n], np.stack(tforms), np.stack(gts))
+        return {"nme": nme}
+
+
+@DATASETS.register_module()
+class AFLW2000Dataset:
+    """AFLW2000-3D evaluation set: images + .mat files holding ``pt3d_68``
+    (parity: /root/reference/deep3dmap/datasets/AFLW2000.py).  The pipeline
+    (typically FaceLandmarkCrop) produces the cropped ``faceimg`` +
+    ``tform_mat``; ``evaluate`` computes landmark NME in original image
+    space, normalized by the GT bounding-box size (AFLW2000.py:101-131)."""
+
+    CLASSES = ("face",)
+
+    def __init__(self, datapath: str, img_prefix: str = "", pipeline=None,
+                 test_mode: bool = True):
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        self.pipeline = pipeline
+        self.data_infos: List[Dict] = []
+        with open(datapath) as f:
+            for line in f:
+                name = line.strip()
+                if not name:
+                    continue
+                mat_file = name.rsplit(".", 1)[0] + ".mat"
+                if (osp.exists(osp.join(img_prefix, name))
+                        and osp.exists(osp.join(img_prefix, mat_file))):
+                    self.data_infos.append(dict(filename=name,
+                                                mat_file=mat_file))
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def _load_kpt(self, idx: int) -> np.ndarray:
+        import scipy.io as sio
+
+        info = self.data_infos[idx]
+        mat = sio.loadmat(osp.join(self.img_prefix, info["mat_file"]))
+        return np.asarray(mat["pt3d_68"], np.float32)  # (3, 68)
+
+    def __getitem__(self, idx: int) -> Dict:
+        info = self.data_infos[idx]
+        img = _imread_rgb(osp.join(self.img_prefix, info["filename"]))
+        kpt = self._load_kpt(idx)
+        item = dict(img=img.astype(np.float32), pt3d_68=kpt.T,
+                    gt_kpt_proj2d=kpt[:2])
+        if self.pipeline is not None:
+            item = self.pipeline(item)
+        return item
+
+    def evaluate(self, results, metric: str = "nme", logger=None, **kwargs):
+        """results: {'kpt': [(B,3,68)...], 'tform_mat': [(B,3,3)...]}
+        (tools/test.py collection format)."""
+        if not isinstance(metric, str):
+            assert len(metric) == 1
+            metric = metric[0]
+        if metric not in ("nme", "rmse"):
+            raise KeyError(f"metric {metric} is not supported")
+        kpt = np.concatenate([np.asarray(r) for r in results["kpt"]], axis=0)
+        tforms = np.concatenate([np.asarray(r) for r in results["tform_mat"]],
+                                axis=0)
+        n = min(kpt.shape[0], len(self))
+        gts = np.stack([self._load_kpt(i)[:2] for i in range(n)])
+        nme = eval_nme(kpt[:n], tforms[:n], gts)
         return {"nme": nme}

@@ -12,6 +12,55 @@ import jax.numpy as jnp
 from ..builder import BACKBONES
 
 
+class ResBlockDown(nn.Module):
+    """Stride-2 residual downsampling block (encoder.py ResBlockDown)."""
+
+    cout: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.cout, (4, 4), strides=(2, 2), use_bias=False)(
+            nn.leaky_relu(x, 0.2))
+        h = nn.Conv(self.cout, (3, 3), use_bias=False)(nn.leaky_relu(h, 0.2))
+        skip = nn.Conv(self.cout, (1, 1), strides=(2, 2), use_bias=False)(x)
+        return h + skip
+
+
+@BACKBONES.register_module()
+class ResEncoder(nn.Module):
+    """Residual conv encoder to a flat vector
+    (parity: /root/reference/deep3dmap/models/backbones/encoder.py:65-88):
+    4x4-stride-2 stem, ResBlockDown chain down to 4x4, then 4x4 VALID conv to
+    1x1 and a 1x1 projection to ``cout``. NHWC flax."""
+
+    cout: int = 512
+    nf: int = 16
+    size: int = 128
+    activation: str = "none"  # or "tanh"
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        nf = self.nf
+        h = nn.Conv(nf, (4, 4), strides=(2, 2), use_bias=False)(x)
+        h = ResBlockDown(nf * 2)(h)
+        h = ResBlockDown(nf * 4)(h)
+        h = ResBlockDown(nf * 8)(h)
+        extra = int(math.log2(self.size)) - 6
+        for _ in range(max(extra, 0)):
+            nf *= 2
+            h = ResBlockDown(nf * 8)(h)
+        h = nn.relu(h)
+        h = nn.Conv(nf * 16, (4, 4), padding="VALID", use_bias=False)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.cout, (1, 1), use_bias=False)(h)
+        out = h.reshape(h.shape[0], -1)
+        if self.activation == "tanh":
+            out = jnp.tanh(out)
+        return out
+
+
 @BACKBONES.register_module()
 class Encoder(nn.Module):
     cout: int = 6

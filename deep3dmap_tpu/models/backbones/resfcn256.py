@@ -59,7 +59,7 @@ class _UpBlock(nn.Module):
         return x
 
 
-@BACKBONES.register_module()
+@BACKBONES.register_module(name=["ResFCN256", "resfcn256_std"])
 class ResFCN256(nn.Module):
     """Input (B, R, R, 3) in [0,1]; output (B, R, R, out_ch) in (0,1)."""
 

@@ -149,7 +149,12 @@ class BaseRunner:
             self.lr_schedule = None
 
         grad_clip = (optimizer_config or {}).get("grad_clip")
-        self.tx = build_optimizer(optimizer, lr_schedule=self.lr_schedule, grad_clip=grad_clip)
+        paramwise_cfg = optimizer.pop("paramwise_cfg", None)
+        accumulate = (optimizer_config or {}).get("cumulative_iters", 1)
+        self.tx = build_optimizer(optimizer, lr_schedule=self.lr_schedule,
+                                  grad_clip=grad_clip,
+                                  accumulate_steps=accumulate,
+                                  paramwise_cfg=paramwise_cfg)
 
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)

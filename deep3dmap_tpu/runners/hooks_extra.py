@@ -10,6 +10,7 @@ import os.path as osp
 from typing import Optional
 
 import jax
+import numpy as np
 
 from .hooks import HOOKS, Hook
 
@@ -227,3 +228,161 @@ class EarlyStoppingHook(Hook):
                     f"EarlyStopping: {self.monitor} did not improve for "
                     f"{self.patience} epochs (best={self.best:.5f})")
                 runner._max_epochs = runner.epoch  # stop the loop
+
+
+@HOOKS.register_module()
+class OptimizerHook(Hook):
+    """Config-compat shim for the reference's OptimizerHook
+    (/root/reference/deep3dmap/runners/hooks/optimizer.py:21).
+
+    In this framework backward + clip + step happen INSIDE the jitted train
+    step (gradient clipping is an optax transform built from
+    optimizer_config.grad_clip at runner.setup, base_runner.py).  The hook
+    exists so reference configs with ``optimizer_config=dict(
+    type='OptimizerHook', grad_clip=...)`` build unchanged; it validates the
+    runner was set up with the same clipping."""
+
+    def __init__(self, grad_clip=None, **kwargs):
+        self.grad_clip = grad_clip
+
+    def before_run(self, runner):
+        if self.grad_clip and getattr(runner, "tx", None) is None:
+            runner.logger.warning(
+                "OptimizerHook.grad_clip set but runner.setup() has not "
+                "built the optimizer yet; pass optimizer_config to setup()")
+
+
+@HOOKS.register_module()
+class MultiOptimizerHook(OptimizerHook):
+    """Config-compat shim for MultiOptimizerHook (optimizer.py:44): the
+    per-sequence optimizers of the StateMachineRunner each clip/step inside
+    their own jitted step functions."""
+
+
+@HOOKS.register_module()
+class GradientCumulativeOptimizerHook(OptimizerHook):
+    """Config-compat shim (optimizer.py:69): accumulation is an
+    optax.MultiSteps wrapper built from optimizer_config.cumulative_iters."""
+
+    def __init__(self, cumulative_iters=1, **kwargs):
+        super().__init__(**kwargs)
+        self.cumulative_iters = cumulative_iters
+
+
+class _ScalarLoggerHook(Hook):
+    """Shared scaffolding for external experiment trackers: average the
+    LogBuffer every ``interval`` iters and hand the scalar dict to
+    ``_log_scalars``; disabled (with a warning) when the client package is
+    missing (parity: hooks/logger/{mlflow,neptune,pavi,dvclive}.py)."""
+
+    PRIORITY = 90
+
+    def __init__(self, interval: int = 50):
+        self.interval = interval
+        self._ok = False
+
+    def _setup(self, runner):  # -> None, sets self._ok
+        raise NotImplementedError
+
+    def _log_scalars(self, scalars: dict, step: int):
+        raise NotImplementedError
+
+    def before_run(self, runner):
+        try:
+            self._setup(runner)
+            self._ok = True
+        except Exception as e:
+            runner.logger.warning(f"{type(self).__name__} disabled: {e}")
+
+    def after_train_iter(self, runner):
+        if not self._ok or not self.every_n_iters(runner, self.interval):
+            return
+        runner.log_buffer.average(self.interval)
+        scalars = {k: float(v) for k, v in runner.log_buffer.output.items()
+                   if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+        if scalars:
+            self._log_scalars(scalars, runner.iter + 1)
+
+
+@HOOKS.register_module()
+class MlflowLoggerHook(_ScalarLoggerHook):
+    """MLflow tracker (hooks/logger/mlflow.py); gated on ``mlflow``."""
+
+    def __init__(self, exp_name: Optional[str] = None, tags=None,
+                 interval: int = 50, **kwargs):
+        super().__init__(interval)
+        self.exp_name = exp_name
+        self.tags = tags
+
+    def _setup(self, runner):
+        import mlflow
+
+        self._mlflow = mlflow
+        if self.exp_name:
+            mlflow.set_experiment(self.exp_name)
+        if self.tags:
+            mlflow.set_tags(self.tags)
+
+    def _log_scalars(self, scalars, step):
+        self._mlflow.log_metrics(scalars, step=step)
+
+
+@HOOKS.register_module()
+class NeptuneLoggerHook(_ScalarLoggerHook):
+    """Neptune tracker (hooks/logger/neptune.py); gated on ``neptune``."""
+
+    def __init__(self, init_kwargs: Optional[dict] = None, interval: int = 50,
+                 **kwargs):
+        super().__init__(interval)
+        self.init_kwargs = init_kwargs or {}
+
+    def _setup(self, runner):
+        import neptune
+
+        self._run = neptune.init_run(**self.init_kwargs)
+
+    def _log_scalars(self, scalars, step):
+        for k, v in scalars.items():
+            self._run[k].append(v, step=step)
+
+    def after_run(self, runner):
+        if self._ok:
+            self._run.stop()
+
+
+@HOOKS.register_module()
+class PaviLoggerHook(_ScalarLoggerHook):
+    """PAVI tracker (hooks/logger/pavi.py); gated on ``pavi``."""
+
+    def __init__(self, init_kwargs: Optional[dict] = None, interval: int = 50,
+                 **kwargs):
+        super().__init__(interval)
+        self.init_kwargs = init_kwargs or {}
+
+    def _setup(self, runner):
+        from pavi import SummaryWriter
+
+        self._writer = SummaryWriter(**self.init_kwargs)
+
+    def _log_scalars(self, scalars, step):
+        self._writer.add_scalars("train", scalars, step)
+
+
+@HOOKS.register_module()
+class DvcliveLoggerHook(_ScalarLoggerHook):
+    """DVCLive tracker (hooks/logger/dvclive.py); gated on ``dvclive``."""
+
+    def __init__(self, model_file: Optional[str] = None, interval: int = 50,
+                 **kwargs):
+        super().__init__(interval)
+        self.model_file = model_file
+
+    def _setup(self, runner):
+        from dvclive import Live
+
+        self._live = Live()
+
+    def _log_scalars(self, scalars, step):
+        self._live.step = step
+        for k, v in scalars.items():
+            self._live.log_metric(k, v)
