@@ -10,6 +10,10 @@ from .real_files import (BlenderDataset, CelebaDataset, DTUDataset,
                          ThreeHundredWLPDataset)
 from .async_producer import (AsyncProducerDataset, FaceImagesAsyncDataset,
                              FaceTexUVAsyncDataset)
+from .wrappers import (ClassBalancedDataset, ConcatDataset,
+                       MultiImageMixDataset, RepeatDataset)
+from .samplers import (DistributedGroupSampler, DistributedSampler,
+                       DistributedVideoSampler, GroupSampler)
 from . import pipelines  # noqa: F401  (register transforms)
 
 __all__ = [

@@ -19,6 +19,31 @@ PIPELINES = Registry("pipeline")
 
 
 def build_dataset(cfg, default_args=None):
+    """Wrapper-aware dataset construction (parity:
+    /root/reference/deep3dmap/datasets/builder.py:55-81)."""
+    import copy
+
+    from . import wrappers
+
+    if isinstance(cfg, (list, tuple)):
+        return wrappers.ConcatDataset(
+            [build_dataset(c, default_args) for c in cfg])
+    if cfg["type"] == "ConcatDataset":
+        return wrappers.ConcatDataset(
+            [build_dataset(c, default_args) for c in cfg["datasets"]],
+            cfg.get("separate_eval", True))
+    if cfg["type"] == "RepeatDataset":
+        return wrappers.RepeatDataset(
+            build_dataset(cfg["dataset"], default_args), cfg["times"])
+    if cfg["type"] == "ClassBalancedDataset":
+        return wrappers.ClassBalancedDataset(
+            build_dataset(cfg["dataset"], default_args),
+            cfg["oversample_thr"])
+    if cfg["type"] == "MultiImageMixDataset":
+        cp_cfg = copy.deepcopy(dict(cfg))
+        cp_cfg["dataset"] = build_dataset(cp_cfg["dataset"])
+        cp_cfg.pop("type")
+        return wrappers.MultiImageMixDataset(**cp_cfg)
     return DATASETS.build(dict(cfg), **(default_args or {}))
 
 
@@ -26,25 +51,34 @@ class NumpyLoader:
     """Batches a map-style dataset of dict samples into stacked numpy arrays."""
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.sampler = sampler
         self.epoch = 0
 
+    def _num_indices(self):
+        return len(self.sampler) if self.sampler is not None else len(self.dataset)
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._num_indices() // self.batch_size
+        if not self.drop_last and self._num_indices() % self.batch_size:
             n += 1
         return n
 
     def __iter__(self):
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            rs = np.random.RandomState(self.seed + self.epoch)
-            rs.shuffle(idx)
+        if self.sampler is not None:
+            if hasattr(self.sampler, "set_epoch"):
+                self.sampler.set_epoch(self.epoch)
+            idx = np.fromiter(iter(self.sampler), dtype=np.int64)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                rs = np.random.RandomState(self.seed + self.epoch)
+                rs.shuffle(idx)
         self.epoch += 1
         for start in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size):
@@ -76,5 +110,23 @@ def build_dataloader(dataset, samples_per_gpu: int = 1, workers_per_gpu: int = 0
     LERF ray datamanager or push-style async datasets) pass through as-is."""
     if not hasattr(dataset, "__getitem__") and hasattr(dataset, "__iter__"):
         return dataset
-    return NumpyLoader(dataset, batch_size=samples_per_gpu * num_gpus,
-                       shuffle=shuffle, seed=seed or 0)
+    sampler = None
+    if dist:
+        # rank-local slice of the global index stream; group-aware when the
+        # dataset carries aspect-group flags (builder.py:96-108 in reference)
+        from .samplers import DistributedGroupSampler, DistributedSampler
+
+        if shuffle and hasattr(dataset, "flag"):
+            sampler = DistributedGroupSampler(
+                dataset, samples_per_gpu, seed=seed or 0)
+        else:
+            sampler = DistributedSampler(dataset, shuffle=shuffle,
+                                         seed=seed or 0)
+    elif shuffle and hasattr(dataset, "flag"):
+        from .samplers import GroupSampler
+
+        sampler = GroupSampler(dataset, samples_per_gpu, seed=seed or 0)
+    batch = samples_per_gpu * (1 if dist else num_gpus)
+    return NumpyLoader(dataset, batch_size=batch,
+                       shuffle=shuffle and sampler is None, seed=seed or 0,
+                       sampler=sampler)
