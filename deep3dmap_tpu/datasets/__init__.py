@@ -10,6 +10,7 @@ from .real_files import (BlenderDataset, CelebaDataset, DTUDataset,
                          ThreeHundredWLPDataset)
 from .async_producer import (AsyncProducerDataset, FaceImagesAsyncDataset,
                              FaceTexUVAsyncDataset)
+from .custom import CustomDataset
 from .wrappers import (ClassBalancedDataset, ConcatDataset,
                        MultiImageMixDataset, RepeatDataset)
 from .samplers import (DistributedGroupSampler, DistributedSampler,
