@@ -8,6 +8,14 @@ from .mesh import (
     data_spec,
     master_only,
 )
+from .fsdp import (
+    fsdp_spec,
+    fsdp_specs,
+    fsdp_shard,
+    zero_specs,
+    zero_shard,
+    separate_group_specs,
+)
 from .spatial import (
     conv_gru3d_halo,
     halo_pad,
@@ -25,6 +33,12 @@ __all__ = [
     "replicate",
     "data_spec",
     "master_only",
+    "fsdp_spec",
+    "fsdp_specs",
+    "fsdp_shard",
+    "zero_specs",
+    "zero_shard",
+    "separate_group_specs",
     "conv_gru3d_halo",
     "halo_pad",
     "shard_global_volumes",
