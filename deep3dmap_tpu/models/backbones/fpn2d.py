@@ -8,6 +8,14 @@ MBConv trunk with three strided stages feeding a top-down FPN that emits
 TPU-native choices: NHWC layout, GroupNorm instead of BatchNorm (stateless,
 batch-size independent — no running-stat plumbing through the functional
 train step), bfloat16-friendly.
+
+Import mode: the reference constructs its trunk from *pretrained* torchvision
+MNASNet (mnas_multi.py:26 ``MNASNet(alpha, pretrained=True)``).  To load those
+weights here, build with ``norm="none", torch_pad=True``: convs then carry a
+bias (the eval-mode BatchNorm affine folds into the preceding conv exactly)
+and strided convs use torch's symmetric k//2 padding instead of XLA SAME
+(which pads asymmetrically at stride 2).  See utils/torch_import.py
+``import_mnasnet_trunk``.
 """
 from __future__ import annotations
 
@@ -17,6 +25,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..builder import BACKBONES
+
+
+def _pad(kernel: int, torch_pad: bool):
+    """torch-style symmetric padding, or XLA SAME."""
+    if torch_pad:
+        p = kernel // 2
+        return ((p, p), (p, p))
+    return "SAME"
 
 
 def _depths(alpha: float) -> list:
@@ -46,20 +62,26 @@ class MBConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     expand: int = 3
+    norm: str = "gn"
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
-        h = nn.Conv(mid, (1, 1), use_bias=False)(x)
-        h = _GN()(h)
-        h = nn.relu(h)
+        bias = self.norm == "none"
+
+        def _norm(h):
+            return h if self.norm == "none" else _GN()(h)
+
+        h = nn.Conv(mid, (1, 1), use_bias=bias)(x)
+        h = nn.relu(_norm(h))
         h = nn.Conv(mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-                    feature_group_count=mid, use_bias=False)(h)
-        h = _GN()(h)
-        h = nn.relu(h)
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
-        h = _GN()(h)
+                    padding=_pad(self.kernel, self.torch_pad),
+                    feature_group_count=mid, use_bias=bias)(h)
+        h = nn.relu(_norm(h))
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=bias)(h)
+        h = _norm(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x
         return h
@@ -71,12 +93,16 @@ class _Stack(nn.Module):
     stride: int
     expand: int
     repeats: int
+    norm: str = "gn"
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = MBConv(self.out_ch, self.kernel, self.stride, self.expand)(x)
+        x = MBConv(self.out_ch, self.kernel, self.stride, self.expand,
+                   self.norm, self.torch_pad)(x)
         for _ in range(self.repeats - 1):
-            x = MBConv(self.out_ch, self.kernel, 1, self.expand)(x)
+            x = MBConv(self.out_ch, self.kernel, 1, self.expand,
+                       self.norm, self.torch_pad)(x)
         return x
 
 
@@ -86,23 +112,29 @@ class MnasFPN(nn.Module):
     reference's ``outputs[::-1]`` ordering (mnas_multi.py:77)."""
 
     alpha: float = 1.0
+    norm: str = "gn"          # "gn" | "none" (bias convs, for torch import)
+    torch_pad: bool = False   # symmetric k//2 padding on strided convs
 
     @nn.compact
     def __call__(self, x):
         d = _depths(self.alpha)
+        bias = self.norm == "none"
+
+        def _norm(h):
+            return h if self.norm == "none" else _GN()(h)
+
         # stem: conv s2 + depthwise + project (mnasnet layers 0-7)
-        h = nn.Conv(d[0], (3, 3), strides=(2, 2), use_bias=False)(x)
-        h = _GN()(h)
-        h = nn.relu(h)
-        h = nn.Conv(d[0], (3, 3), feature_group_count=d[0], use_bias=False)(h)
-        h = _GN()(h)
-        h = nn.relu(h)
-        h = nn.Conv(d[1], (1, 1), use_bias=False)(h)
-        h = _GN()(h)
+        h = nn.Conv(d[0], (3, 3), strides=(2, 2), use_bias=bias,
+                    padding=_pad(3, self.torch_pad))(x)
+        h = nn.relu(_norm(h))
+        h = nn.Conv(d[0], (3, 3), feature_group_count=d[0], use_bias=bias)(h)
+        h = nn.relu(_norm(h))
+        h = nn.Conv(d[1], (1, 1), use_bias=bias)(h)
+        h = _norm(h)
         # stage blocks (mnasnet layers 8,9,10)
-        conv0 = _Stack(d[2], 3, 2, 3, 3)(h)      # 1/4,  24ch
-        conv1 = _Stack(d[3], 5, 2, 3, 3)(conv0)  # 1/8,  40ch
-        conv2 = _Stack(d[4], 5, 2, 6, 3)(conv1)  # 1/16, 80ch
+        conv0 = _Stack(d[2], 3, 2, 3, 3, self.norm, self.torch_pad)(h)      # 1/4,  24ch
+        conv1 = _Stack(d[3], 5, 2, 3, 3, self.norm, self.torch_pad)(conv0)  # 1/8,  40ch
+        conv2 = _Stack(d[4], 5, 2, 6, 3, self.norm, self.torch_pad)(conv1)  # 1/16, 80ch
 
         # top-down FPN
         final = d[4]

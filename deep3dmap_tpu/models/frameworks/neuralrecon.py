@@ -64,10 +64,13 @@ class _FPNStep(nn.Module):
     9 x 640x480), and nn.remat recomputes activations in the backward pass."""
 
     alpha: float
+    norm: str = "gn"
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, carry, x):
-        return carry, tuple(MnasFPN(alpha=self.alpha, name="fpn")(x))
+        return carry, tuple(MnasFPN(alpha=self.alpha, norm=self.norm,
+                                    torch_pad=self.torch_pad, name="fpn")(x))
 
 
 class NeuralReconNet(nn.Module):
@@ -77,6 +80,8 @@ class NeuralReconNet(nn.Module):
     n_layers: int = 3
     voxel_size: float = 0.04
     alpha: float = 1.0
+    backbone_norm: str = "gn"       # "none" = torch-import mode (fpn2d.py)
+    backbone_torch_pad: bool = False
     fusion_on: bool = True
     add_coord_feats: bool = True
     out_channels: Sequence[int] = (96, 48, 24)
@@ -109,7 +114,9 @@ class NeuralReconNet(nn.Module):
         ScanFPN = nn.scan(nn.remat(_FPNStep), variable_broadcast="params",
                           split_rngs={"params": False}, in_axes=0, out_axes=0)
         imgs_v = jnp.moveaxis(imgs, 1, 0)  # (V, B, H, W, 3)
-        _, pyramid = ScanFPN(alpha=self.alpha, name="backbone2d")(None, imgs_v)
+        _, pyramid = ScanFPN(alpha=self.alpha, norm=self.backbone_norm,
+                             torch_pad=self.backbone_torch_pad,
+                             name="backbone2d")(None, imgs_v)
         # pyramid[s]: (V, B, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
         pyramid = [jnp.moveaxis(f, 0, 1) for f in pyramid]
 
@@ -205,7 +212,10 @@ class NeuralRecon(BaseFramework):
         self.lw = cfg.get("LW", [1.0, 0.8, 0.64])
         self.thresholds = tuple(cfg.get("THRESHOLDS", [0, 0, 0]))
         self.pos_weight = cfg.get("POS_WEIGHT", 1.0)
-        alpha = float(str(cfg.get("BACKBONE2D", {}).get("ARC", "fpn-mnas-1")).split("-")[-1])
+        bb2d = dict(cfg.get("BACKBONE2D", {}))
+        alpha = float(str(bb2d.get("ARC", "fpn-mnas-1")).split("-")[-1])
+        self.backbone_norm = bb2d.get("NORM", "gn")
+        self.backbone_torch_pad = bool(bb2d.get("TORCH_PAD", False))
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
         # active-voxel capacity at level i = 8x the previous level's
         # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
@@ -224,7 +234,9 @@ class NeuralRecon(BaseFramework):
 
         self.net = NeuralReconNet(
             n_vox=self.n_vox, n_layers=self.n_layers, voxel_size=self.voxel_size,
-            alpha=alpha, fusion_on=self.fusion_on, out_channels=self.out_channels,
+            alpha=alpha, backbone_norm=self.backbone_norm,
+            backbone_torch_pad=self.backbone_torch_pad,
+            fusion_on=self.fusion_on, out_channels=self.out_channels,
             thresholds=self.thresholds, num_sample=self.num_sample)
 
     # -- helpers -----------------------------------------------------------

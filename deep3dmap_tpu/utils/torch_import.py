@@ -31,7 +31,9 @@ __all__ = [
     "import_stylegan2_generator",
     "import_stylegan2_discriminator",
     "import_vgg16_features",
+    "import_mnasnet_trunk",
     "fill_like",
+    "merge_into",
 ]
 
 
@@ -169,6 +171,91 @@ def import_stylegan2_discriminator(sd: Mapping[str, np.ndarray],
     out["out/weight"] = linear_kernel(sd["final_linear.1.weight"])
     out["out/bias"] = to_numpy(sd["final_linear.1.bias"])
     return {"params/" + k: v for k, v in out.items()}
+
+
+def merge_into(template, flat: Dict[str, np.ndarray]):
+    """Like ``fill_like`` but partial: leaves present in ``flat`` replace the
+    template values (shape-checked); the rest keep their (fresh-init) values.
+    Raises if ``flat`` has keys the template doesn't."""
+    import jax
+
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    used = set()
+    leaves = []
+    for path, leaf in paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key in flat:
+            arr = np.asarray(flat[key], np.float32)
+            if arr.shape != np.shape(leaf):
+                raise ValueError(f"{key}: torch shape {arr.shape} != "
+                                 f"flax shape {np.shape(leaf)}")
+            leaves.append(arr)
+            used.add(key)
+        else:
+            leaves.append(leaf)
+    extra = set(flat) - used
+    if extra:
+        raise KeyError(f"importer produced unknown parameters: {sorted(extra)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _fold_bn(sd: Mapping[str, np.ndarray], conv_key: str, bn_key: str,
+             eps: float = 1e-5):
+    """Fold eval-mode BatchNorm into the preceding conv: returns flax-layout
+    (kernel HWIO, bias).  Exact for inference (BN(x*w) == x*w' + b')."""
+    w = conv_kernel(sd[f"{conv_key}.weight"])  # (kH,kW,I,O)
+    gamma = to_numpy(sd[f"{bn_key}.weight"])
+    beta = to_numpy(sd[f"{bn_key}.bias"])
+    mean = to_numpy(sd[f"{bn_key}.running_mean"])
+    var = to_numpy(sd[f"{bn_key}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return w * scale, beta - mean * scale
+
+
+def import_mnasnet_trunk(sd: Mapping[str, np.ndarray], template):
+    """torchvision MNASNet state dict -> params for ``MnasFPN(norm="none",
+    torch_pad=True)`` (parity: the reference builds its 2D trunk from
+    *pretrained* torchvision MNASNet, /root/reference/deep3dmap/models/
+    backbones/mnas_multi.py:24-33 ``MNASNet(alpha, pretrained=True)``,
+    keeping ``layers[0:8]`` + stages 8/9/10).
+
+    BatchNorms are folded into the convs (exact in eval mode); the FPN
+    lateral/output convs have no torch source and keep the template's fresh
+    init, matching the reference where the FPN layers are newly constructed
+    (mnas_multi.py:40-55).
+
+    Args:
+        sd: torch state dict (``layers.N...`` keys; ``module.`` ok).
+        template: params pytree from ``MnasFPN(norm="none",
+            torch_pad=True).init(...)`` (pass the full FrozenDict/dict).
+    """
+    sd = _strip_module(sd)
+    # some checkpoints nest the trunk (e.g. 'backbone2d.layers.0.weight');
+    # keep everything from the first 'layers.' on
+    if not any(k.startswith("layers.") for k in sd):
+        sd = {"layers." + k.split("layers.", 1)[1]: v
+              for k, v in sd.items() if "layers." in k}
+    out: Dict[str, np.ndarray] = {}
+
+    def put(dst, conv_key, bn_key):
+        k, b = _fold_bn(sd, conv_key, bn_key)
+        out[f"params/{dst}/kernel"] = k
+        out[f"params/{dst}/bias"] = b
+
+    # stem: layers 0/1 conv+BN, 3/4 depthwise+BN, 6/7 project+BN
+    put("Conv_0", "layers.0", "layers.1")
+    put("Conv_1", "layers.3", "layers.4")
+    put("Conv_2", "layers.6", "layers.7")
+    # stages 8/9/10 -> _Stack_0/1/2, each 3 _InvertedResidual blocks whose
+    # inner Sequential is [0 expand, 1 BN, 3 depthwise, 4 BN, 6 project, 7 BN]
+    for stack, layer in enumerate((8, 9, 10)):
+        for block in range(3):
+            src = f"layers.{layer}.{block}.layers"
+            dst = f"_Stack_{stack}/MBConv_{block}"
+            put(f"{dst}/Conv_0", f"{src}.0", f"{src}.1")
+            put(f"{dst}/Conv_1", f"{src}.3", f"{src}.4")
+            put(f"{dst}/Conv_2", f"{src}.6", f"{src}.7")
+    return merge_into(template, out)
 
 
 # torchvision vgg16 `features.` conv indices, in trunk order

@@ -140,6 +140,101 @@ def test_import_discriminator_flatten_permutation():
     np.testing.assert_allclose(y_torch, y_flax, rtol=1e-4, atol=1e-5)
 
 
+def _torch_mnasnet_trunk(rs):
+    """torchvision-mnasnet-shaped trunk (layers 0-10, alpha=1) with random
+    weights AND random BN running stats, eval mode."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    class _IR(tnn.Module):
+        def __init__(self, cin, cout, k, s, exp):
+            super().__init__()
+            mid = cin * exp
+            self.layers = tnn.Sequential(
+                tnn.Conv2d(cin, mid, 1, bias=False), tnn.BatchNorm2d(mid),
+                tnn.ReLU(), tnn.Conv2d(mid, mid, k, padding=k // 2, stride=s,
+                                       groups=mid, bias=False),
+                tnn.BatchNorm2d(mid), tnn.ReLU(),
+                tnn.Conv2d(mid, cout, 1, bias=False), tnn.BatchNorm2d(cout))
+            self.apply_residual = cin == cout and s == 1
+
+        def forward(self, x):
+            y = self.layers(x)
+            return x + y if self.apply_residual else y
+
+    def _stack(cin, cout, k, s, exp, repeats):
+        blocks = [_IR(cin, cout, k, s, exp)]
+        blocks += [_IR(cout, cout, k, 1, exp) for _ in range(repeats - 1)]
+        return tnn.Sequential(*blocks)
+
+    trunk = tnn.Module()
+    trunk.layers = tnn.Sequential(
+        tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False),
+        tnn.BatchNorm2d(32), tnn.ReLU(),
+        tnn.Conv2d(32, 32, 3, padding=1, groups=32, bias=False),
+        tnn.BatchNorm2d(32), tnn.ReLU(),
+        tnn.Conv2d(32, 16, 1, bias=False), tnn.BatchNorm2d(16),
+        _stack(16, 24, 3, 2, 3, 3), _stack(24, 40, 5, 2, 3, 3),
+        _stack(40, 80, 5, 2, 6, 3))
+    with torch.no_grad():
+        for p in trunk.parameters():
+            p.copy_(torch.from_numpy(
+                rs.normal(size=tuple(p.shape)).astype(np.float32) * 0.1))
+        for m in trunk.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.from_numpy(
+                    rs.normal(size=tuple(m.running_mean.shape)).astype(np.float32)))
+                m.running_var.copy_(torch.from_numpy(
+                    rs.uniform(0.5, 2.0, size=tuple(m.running_var.shape)).astype(np.float32)))
+    trunk.eval()
+    return torch, trunk
+
+
+def test_import_mnasnet_trunk_forward_parity():
+    """BN folding + torch padding reproduce the torch trunk stage-by-stage."""
+    from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
+    from deep3dmap_tpu.utils.torch_import import import_mnasnet_trunk
+
+    rs = np.random.default_rng(7)
+    torch, trunk = _torch_mnasnet_trunk(rs)
+    sd = {k: v.numpy() for k, v in trunk.state_dict().items()}
+
+    x = rs.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        h = trunk.layers[:8](torch.from_numpy(x))
+        c0 = trunk.layers[8](h)
+        c1 = trunk.layers[9](c0)
+        c2 = trunk.layers[10](c1)
+
+    mnas = MnasFPN(alpha=1.0, norm="none", torch_pad=True)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    template = jax.jit(mnas.init)(jax.random.PRNGKey(0), x_nhwc)
+    params = import_mnasnet_trunk(sd, template)
+    outs, inter = mnas.apply(params, x_nhwc, capture_intermediates=True)
+    stages = inter["intermediates"]
+    for name, ref in (("_Stack_0", c0), ("_Stack_1", c1), ("_Stack_2", c2)):
+        got = np.asarray(stages[name]["__call__"][0])
+        np.testing.assert_allclose(got, ref.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-3, atol=1e-4)
+    # FPN heads still produce the 3-scale pyramid on imported weights
+    assert [o.shape[-1] for o in outs] == [24, 40, 80]
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_import_mnasnet_rejects_bad_shape():
+    from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
+    from deep3dmap_tpu.utils.torch_import import import_mnasnet_trunk
+
+    rs = np.random.default_rng(8)
+    _, trunk = _torch_mnasnet_trunk(rs)
+    sd = {k: v.numpy() for k, v in trunk.state_dict().items()}
+    sd["layers.0.weight"] = sd["layers.0.weight"][:, :, :1, :1]  # wrong kernel
+    mnas = MnasFPN(alpha=1.0, norm="none", torch_pad=True)
+    template = jax.jit(mnas.init)(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+    with pytest.raises(ValueError):
+        import_mnasnet_trunk(sd, template)
+
+
 def test_import_vgg16_features():
     rs = np.random.default_rng(4)
     chans = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),

@@ -11,6 +11,12 @@ Reference users carry over their pretrained assets with:
   # torchvision vgg16 (for the LPIPS-style PerceptualLoss weights_path)
   python tools/import_weights.py vgg16 vgg16.pth out.npz
 
+  # torchvision mnasnet1_0/0_5 (NeuralRecon 2D trunk; the reference builds it
+  # from pretrained MNASNet, mnas_multi.py:26) — load the result as the
+  # backbone2d params of a model built with BACKBONE2D=dict(NORM="none",
+  # TORCH_PAD=True)
+  python tools/import_weights.py mnasnet mnasnet1.0.pth out.npz --alpha 1.0
+
 Parity surface: the reference initializes Gan2Shape from StyleGAN2 .pth
 checkpoints (/root/reference/deep3dmap/models/frameworks/gan2shape.py:119-131)
 and LPIPS from pretrained VGG (/root/reference/pnpmodules/stylegan2/lpips/).
@@ -25,13 +31,15 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("kind", choices=["stylegan2", "stylegan2_g", "stylegan2_d",
-                                     "vgg16"])
+                                     "vgg16", "mnasnet"])
     ap.add_argument("src", help=".pth checkpoint path")
     ap.add_argument("dst", help="output .npz path")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--n-mlp", type=int, default=8)
     ap.add_argument("--channel-multiplier", type=int, default=2)
     ap.add_argument("--style-dim", type=int, default=512)
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="MNASNet depth multiplier (mnasnet kind)")
     args = ap.parse_args()
 
     # host-side conversion tool: never claim the TPU
@@ -80,6 +88,19 @@ def main():
             d = StyleDiscriminator(size=args.size,
                                    channel_multiplier=args.channel_multiplier)
             out["d"] = np.array(tree_for(flat, d, img), dtype=object)
+    elif args.kind == "mnasnet":
+        import jax
+        import jax.numpy as jnp
+        from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
+        from deep3dmap_tpu.utils.torch_import import import_mnasnet_trunk
+        sd = raw.get("state_dict", raw)
+        sd = {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+        mnas = MnasFPN(alpha=args.alpha, norm="none", torch_pad=True)
+        template = jax.jit(mnas.init)(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 3, 64, 64)))
+        params = import_mnasnet_trunk(sd, template)
+        out["params"] = np.array(
+            jax.tree_util.tree_map(np.asarray, params), dtype=object)
     else:  # vgg16
         from deep3dmap_tpu.models.losses.perceptual_loss import _VGGFeatures
         import jax.numpy as jnp
