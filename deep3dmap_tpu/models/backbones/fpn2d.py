@@ -16,6 +16,12 @@ bias (the eval-mode BatchNorm affine folds into the preceding conv exactly)
 and strided convs use torch's symmetric k//2 padding instead of XLA SAME
 (which pads asymmetrically at stride 2).  See utils/torch_import.py
 ``import_mnasnet_trunk``.
+
+Note: BN folding is exact for *inference only* — the reference trains with
+live BatchNorm, whereas ``norm="none"`` leaves the trunk unnormalized, so
+fine-tuning an imported trunk directly would drift.  Import mode is intended
+for frozen/inference backbones: set ``BACKBONE2D.FREEZE=True`` (NeuralRecon)
+to stop-gradient the pyramid, or train from scratch with ``norm="gn"``.
 """
 from __future__ import annotations
 

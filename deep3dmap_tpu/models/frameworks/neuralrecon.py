@@ -82,6 +82,7 @@ class NeuralReconNet(nn.Module):
     alpha: float = 1.0
     backbone_norm: str = "gn"       # "none" = torch-import mode (fpn2d.py)
     backbone_torch_pad: bool = False
+    backbone_freeze: bool = False   # stop-gradient the 2D trunk (import mode)
     fusion_on: bool = True
     add_coord_feats: bool = True
     out_channels: Sequence[int] = (96, 48, 24)
@@ -119,6 +120,10 @@ class NeuralReconNet(nn.Module):
                              name="backbone2d")(None, imgs_v)
         # pyramid[s]: (V, B, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
         pyramid = [jnp.moveaxis(f, 0, 1) for f in pyramid]
+        if self.backbone_freeze:
+            # imported torch trunks run norm="none" (BN folded for inference);
+            # freezing keeps the unnormalized trunk out of the optimization
+            pyramid = [jax.lax.stop_gradient(f) for f in pyramid]
 
         outputs: Dict[str, Any] = {"tsdf": [], "occ": [], "count_mask": [],
                                    "sparse_mask": [], "new_hidden": []}
@@ -216,6 +221,12 @@ class NeuralRecon(BaseFramework):
         alpha = float(str(bb2d.get("ARC", "fpn-mnas-1")).split("-")[-1])
         self.backbone_norm = bb2d.get("NORM", "gn")
         self.backbone_torch_pad = bool(bb2d.get("TORCH_PAD", False))
+        # imported-backbone path: an .npz from `tools/import_weights.py
+        # mnasnet` (parity: mnas_multi.py:26 builds from pretrained MNASNet).
+        # `pretrained` (the reference's ctor arg, neuralrecon.py:21) and
+        # BACKBONE2D.CKPT both point at the npz; CKPT wins if both are set.
+        self.backbone_ckpt = bb2d.get("CKPT", pretrained)
+        self.backbone_freeze = bool(bb2d.get("FREEZE", False))
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
         # active-voxel capacity at level i = 8x the previous level's
         # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
@@ -236,8 +247,34 @@ class NeuralRecon(BaseFramework):
             n_vox=self.n_vox, n_layers=self.n_layers, voxel_size=self.voxel_size,
             alpha=alpha, backbone_norm=self.backbone_norm,
             backbone_torch_pad=self.backbone_torch_pad,
+            backbone_freeze=self.backbone_freeze,
             fusion_on=self.fusion_on, out_channels=self.out_channels,
             thresholds=self.thresholds, num_sample=self.num_sample)
+
+    def _graft_backbone(self, params, ckpt_path):
+        """Graft an imported MnasFPN param tree (tools/import_weights.py
+        mnasnet -> npz['params'] = {'params': <fpn tree>}) under
+        params/backbone2d/fpn, shape-checked leaf by leaf."""
+        import flax
+        import numpy as np
+
+        loaded = np.load(ckpt_path, allow_pickle=True)["params"].item()
+        loaded = dict(loaded).get("params", loaded)
+        frozen = isinstance(params, flax.core.FrozenDict)
+        params = flax.core.unfreeze(params)
+        target = params["params"]["backbone2d"]["fpn"]
+
+        def _check(dst, src):
+            if tuple(dst.shape) != tuple(np.shape(src)):
+                raise ValueError(
+                    f"backbone ckpt leaf shape {np.shape(src)} != model "
+                    f"{tuple(dst.shape)} — was the npz produced with the same "
+                    f"ARC/NORM/TORCH_PAD settings?")
+            return jnp.asarray(src, dst.dtype)
+
+        params["params"]["backbone2d"]["fpn"] = jax.tree_util.tree_map(
+            _check, target, loaded)
+        return flax.core.freeze(params) if frozen else params
 
     # -- helpers -----------------------------------------------------------
     def _window_dims(self):
@@ -303,6 +340,8 @@ class NeuralRecon(BaseFramework):
         params = init_fn(rng, batch["imgs"], batch["proj_matrices"],
                          batch["vol_origin_partial"],
                          batch["world_to_aligned_camera"], hidden)
+        if self.backbone_ckpt:
+            params = self._graft_backbone(params, self.backbone_ckpt)
         return params, model_state
 
     def compute_level_loss(self, tsdf, occ, tsdf_target, occ_target, mask):

@@ -120,3 +120,57 @@ def test_apply_log_transform():
     x = jnp.asarray([-2.0, 0.0, 2.0])
     y = np.asarray(apply_log_transform(x))
     np.testing.assert_allclose(y, [-np.log(3), 0, np.log(3)], atol=1e-6)
+
+
+def test_backbone_ckpt_graft(tmp_path, batch):
+    """BACKBONE2D.CKPT/pretrained loads an imported MnasFPN npz and grafts it
+    under params/backbone2d/fpn (ADVICE r1: complete the torch-import
+    workflow), with FREEZE stop-gradienting the trunk."""
+    from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
+
+    donor = MnasFPN(alpha=0.5, norm="none", torch_pad=True)
+    donor_params = jax.jit(donor.init)(jax.random.PRNGKey(7),
+                                       jnp.zeros((1, 64, 64, 3)))
+    npz = tmp_path / "mnas.npz"
+    np.savez(npz, params=np.array(
+        jax.tree_util.tree_map(np.asarray, donor_params), dtype=object))
+
+    cfgs = dict(MODEL_CFGS,
+                BACKBONE2D=dict(ARC="fpn-mnas-0.5", NORM="none",
+                                TORCH_PAD=True, CKPT=str(npz), FREEZE=True))
+    fw = NeuralRecon(cfgs)
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+    got = params["params"]["backbone2d"]["fpn"]
+    want = donor_params["params"]
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0)
+
+    # FREEZE: no gradient reaches the grafted trunk, others still train
+    _, grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+        params, mstate, batch, jax.random.PRNGKey(1))
+    bb = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(
+        grads["params"]["backbone2d"]))
+    rest = sum(float(jnp.abs(g).sum()) for k, v in grads["params"].items()
+               if k != "backbone2d"
+               for g in jax.tree_util.tree_leaves(v))
+    assert bb == 0.0
+    assert rest > 0
+
+
+def test_backbone_ckpt_shape_mismatch(tmp_path, batch):
+    """A mis-matched npz (wrong alpha) fails loudly with a shape error."""
+    from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
+
+    donor = MnasFPN(alpha=1.0, norm="none", torch_pad=True)
+    donor_params = jax.jit(donor.init)(jax.random.PRNGKey(7),
+                                       jnp.zeros((1, 64, 64, 3)))
+    npz = tmp_path / "mnas_a1.npz"
+    np.savez(npz, params=np.array(
+        jax.tree_util.tree_map(np.asarray, donor_params), dtype=object))
+    cfgs = dict(MODEL_CFGS,
+                BACKBONE2D=dict(ARC="fpn-mnas-0.5", NORM="none",
+                                TORCH_PAD=True, CKPT=str(npz)))
+    fw = NeuralRecon(cfgs)
+    with pytest.raises(ValueError, match="shape"):
+        fw.init(jax.random.PRNGKey(0), batch)

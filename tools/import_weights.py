@@ -11,10 +11,13 @@ Reference users carry over their pretrained assets with:
   # torchvision vgg16 (for the LPIPS-style PerceptualLoss weights_path)
   python tools/import_weights.py vgg16 vgg16.pth out.npz
 
-  # torchvision mnasnet1_0/0_5 (NeuralRecon 2D trunk; the reference builds it
-  # from pretrained MNASNet, mnas_multi.py:26) — load the result as the
-  # backbone2d params of a model built with BACKBONE2D=dict(NORM="none",
-  # TORCH_PAD=True)
+  # torchvision mnasnet1_0 (NeuralRecon 2D trunk; the reference builds it
+  # from pretrained MNASNet, mnas_multi.py:26; like the reference, pretrained
+  # import is alpha=1.0 only — see --alpha help). Point the model at the npz
+  # via BACKBONE2D=dict(ARC="fpn-mnas-1", NORM="none", TORCH_PAD=True,
+  # CKPT="out.npz", FREEZE=True) or the NeuralRecon(pretrained=...) arg;
+  # the params are grafted under params/backbone2d/fpn at init time
+  # (models/frameworks/neuralrecon.py _graft_backbone).
   python tools/import_weights.py mnasnet mnasnet1.0.pth out.npz --alpha 1.0
 
 Parity surface: the reference initializes Gan2Shape from StyleGAN2 .pth
@@ -24,8 +27,12 @@ and LPIPS from pretrained VGG (/root/reference/pnpmodules/stylegan2/lpips/).
 from __future__ import annotations
 
 import argparse
+import os.path as osp
+import sys
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():
@@ -39,7 +46,13 @@ def main():
     ap.add_argument("--channel-multiplier", type=int, default=2)
     ap.add_argument("--style-dim", type=int, default=512)
     ap.add_argument("--alpha", type=float, default=1.0,
-                    help="MNASNet depth multiplier (mnasnet kind)")
+                    help="MNASNet depth multiplier (mnasnet kind). Only "
+                         "alpha=1.0 torchvision checkpoints are importable: "
+                         "pretrained mnasnet0_5/0_75 use the v1 fixed "
+                         "32-channel stem, whose shapes don't match the "
+                         "alpha-scaled stem here — matching the reference, "
+                         "which only sets pretrained=True for alpha==1.0 "
+                         "(mnas_multi.py:26).")
     args = ap.parse_args()
 
     # host-side conversion tool: never claim the TPU
@@ -97,7 +110,7 @@ def main():
         sd = {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
         mnas = MnasFPN(alpha=args.alpha, norm="none", torch_pad=True)
         template = jax.jit(mnas.init)(jax.random.PRNGKey(0),
-                                      jnp.zeros((1, 3, 64, 64)))
+                                      jnp.zeros((1, 64, 64, 3)))  # NHWC
         params = import_mnasnet_trunk(sd, template)
         out["params"] = np.array(
             jax.tree_util.tree_map(np.asarray, params), dtype=object)
