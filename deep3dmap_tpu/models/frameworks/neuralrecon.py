@@ -91,6 +91,9 @@ class NeuralReconNet(nn.Module):
     # static-shape analogue of TRAIN_NUM_SAMPLE subsampling
     # (configs/neural_recon/scannet.py:93 + neucon_network.py:190-194)
     num_sample: Sequence = (None, None, None)
+    # back-projection gather-table dtype: the op is gather-bound on TPU and
+    # bfloat16 halves the gathered bytes (~1.7x); weights/means stay fp32
+    bp_gather_dtype: Optional[str] = "bfloat16"
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, vol_origin_partial,
@@ -137,14 +140,16 @@ class NeuralReconNet(nn.Module):
             feats = pyramid[scale]
             proj = proj_matrices[:, :, scale]
             cap = self.num_sample[i]
+            gdt = jnp.dtype(self.bp_gather_dtype) if self.bp_gather_dtype else None
             if i > 0 and cap is not None and cap < dim ** 3:
                 up_mask = _up2(prev_mask[..., None])[..., 0]
                 volume, count = back_project_masked_batch(
                     feats, proj, vol_origin_partial, up_mask, cap,
-                    dim, self.voxel_size, interval)
+                    dim, self.voxel_size, interval, gather_dtype=gdt)
             else:
                 volume, count = back_project_batch(
-                    feats, proj, vol_origin_partial, dim, self.voxel_size, interval)
+                    feats, proj, vol_origin_partial, dim, self.voxel_size,
+                    interval, gather_dtype=gdt)
             count_mask = count > 1  # seen by >1 view (neucon_network.py:132)
 
             parts = [volume]

@@ -24,8 +24,11 @@ class ConvGRU3D(nn.Module):
     def __call__(self, h, x):
         k = (self.kernel,) * 3
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden_dim, k, name="convz")(hx))
-        r = nn.sigmoid(nn.Conv(self.hidden_dim, k, name="convr")(hx))
+        # z and r read the same input: one conv with 2C outputs costs the
+        # same MXU time as one gate (the array is N-limited at these widths)
+        zr = nn.Conv(2 * self.hidden_dim, k, name="convzr")(hx)
+        z = nn.sigmoid(zr[..., :self.hidden_dim])
+        r = nn.sigmoid(zr[..., self.hidden_dim:])
         rhx = jnp.concatenate([r * h, x], axis=-1)
         q = nn.tanh(nn.Conv(self.hidden_dim, k, name="convq")(rhx))
         return (1.0 - z) * h + z * q

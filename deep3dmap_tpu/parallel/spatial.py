@@ -125,25 +125,28 @@ def conv_gru3d_halo(gru_params, h, x, mesh: Mesh, axis: str = "model"):
     *explicit* halo exchange before every gate conv (the §5.7 halo design,
     rather than leaving boundary windows to XLA's generated collectives).
 
-    gru_params: the ``ConvGRU3D`` param collection ({'convz': {'kernel',
-    'bias'}, 'convr': ..., 'convq': ...}).  h (B, GX, GY, GZ, Ch) hidden and
-    x (B, GX, GY, GZ, Cx) input volumes; GX must divide mesh.shape[axis].
+    gru_params: the ``ConvGRU3D`` param collection ({'convzr': {'kernel',
+    'bias'}, 'convq': ...}; z and r share one fused conv, conv_gru3d.py).
+    h (B, GX, GY, GZ, Ch) hidden and x (B, GX, GY, GZ, Cx) input volumes;
+    GX must divide mesh.shape[axis].
 
     Exact: each gate conv sees true neighbor data, so the result equals the
     single-device ConvGRU3D apply on the full volume.
     """
     p = gru_params["params"] if "params" in gru_params else gru_params
 
-    def local(h_blk, x_blk, pz, pr, pq):
+    def local(h_blk, x_blk, pzr, pq):
+        c = h_blk.shape[-1]
         hx = jnp.concatenate([h_blk, x_blk], axis=-1)
-        z = jax.nn.sigmoid(_halo_conv3d(hx, pz["kernel"], pz["bias"], axis))
-        r = jax.nn.sigmoid(_halo_conv3d(hx, pr["kernel"], pr["bias"], axis))
+        zr = _halo_conv3d(hx, pzr["kernel"], pzr["bias"], axis)
+        z = jax.nn.sigmoid(zr[..., :c])
+        r = jax.nn.sigmoid(zr[..., c:])
         rhx = jnp.concatenate([r * h_blk, x_blk], axis=-1)
         q = jnp.tanh(_halo_conv3d(rhx, pq["kernel"], pq["bias"], axis))
         return (1.0 - z) * h_blk + z * q
 
     spec = P(None, axis)
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(spec, spec, P(), P(), P()),
+                   in_specs=(spec, spec, P(), P()),
                    out_specs=spec)
-    return fn(h, x, p["convz"], p["convr"], p["convq"])
+    return fn(h, x, p["convzr"], p["convq"])
