@@ -87,6 +87,12 @@ class Gan2Shape(BaseFramework):
         self.F1_d = cfg.get("F1_d", 2)
         self.view_scale = cfg.get("view_scale", 1.0)
         self.use_mask = cfg.get("use_mask", False)
+        # pretrained parsing model for region masks (parity: the reference
+        # loads BiSeNet/PSPNet checkpoints and derives category masks,
+        # gan2shape.py:313-363); npz from `tools/import_weights.py bisenet`
+        self.parsing_ckpt = cfg.get("parsing_ckpt")
+        self.category = cfg.get("category", "face")
+        self._face_parser = None
         self.mode = "step1"
 
         self.renderer = NrRenderer(cfg, self.image_size)
@@ -112,6 +118,15 @@ class Gan2Shape(BaseFramework):
                                          + (1 - d) / 2 * self.min_depth)
 
     # -- setup --------------------------------------------------------------
+    def parse_mask(self, images):
+        """Category region mask from the pretrained parsing model
+        (parity: gan2shape.py:336-363).  images (B, S, S, 3) in [-1, 1]."""
+        if self._face_parser is None:
+            from ..parsing.bisenet_fp import FaceParser
+            self._face_parser = FaceParser(self.parsing_ckpt)
+        return self._face_parser.parse_mask(images, self.category,
+                                            out_size=self.image_size)
+
     def set_mode(self, mode: str):
         assert mode in ("step1", "step2", "step3")
         self.mode = mode
@@ -202,6 +217,10 @@ class Gan2Shape(BaseFramework):
         margin = (self.max_depth - self.min_depth) / 2
         recon_mask = jax.lax.stop_gradient(
             (recon_depth < self.max_depth + margin).astype(im.dtype))[..., None]
+        if self.use_mask and "input_mask" in batch:
+            # parsed region mask gates the photometric terms
+            # (gan2shape.py:418-516 step1 with use_mask)
+            recon_mask = recon_mask * batch["input_mask"]
         recon_im = jnp.clip(self.renderer._grid_sample_images(texture, grid_2d), -1, 1)
 
         loss_l1 = photometric_loss(recon_im, im, recon_mask)

@@ -99,28 +99,61 @@ class CLIPEncoder:
     """Joint image/text embedding + LERF relevancy."""
 
     def __init__(self, embed_dim: int = 512, weights_path: Optional[str] = None,
-                 seed: int = 0, negatives: Sequence[str] = CANONICAL_NEGATIVES):
+                 seed: int = 0, negatives: Sequence[str] = CANONICAL_NEGATIVES,
+                 bpe_path: Optional[str] = None):
         self.embed_dim = embed_dim
-        self.image_tower = CLIPImageTower(embed_dim=embed_dim)
-        self.text_tower = CLIPTextTower(embed_dim=embed_dim)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        self._vit = None
+        self._tokenizer = None
         if weights_path:
             data = np.load(weights_path, allow_pickle=True)
-            self.image_params = jax.tree_util.tree_map(jnp.asarray, data["image"].item())
-            self.text_params = jax.tree_util.tree_map(jnp.asarray, data["text"].item())
-        else:
-            self.image_params = self.image_tower.init(k1, jnp.zeros((1, 64, 64, 3)))
-            self.text_params = self.text_tower.init(
-                k2, jnp.zeros((1, 16), jnp.int32))
+            if "meta" in data.files:
+                # imported real CLIP (tools/import_weights.py clip): use the
+                # full ViT architecture (clip_vit.py), key-matched weights
+                from .clip_vit import BPETokenizer, CLIPViT
+                self._vit = CLIPViT.from_npz(weights_path)
+                if bpe_path:
+                    self._tokenizer = BPETokenizer(bpe_path)
+            else:
+                self.image_params = jax.tree_util.tree_map(
+                    jnp.asarray, data["image"].item())
+                self.text_params = jax.tree_util.tree_map(
+                    jnp.asarray, data["text"].item())
+        if self._vit is None:
+            self.image_tower = CLIPImageTower(embed_dim=embed_dim)
+            self.text_tower = CLIPTextTower(embed_dim=embed_dim)
+            if not hasattr(self, "image_params"):
+                k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+                self.image_params = self.image_tower.init(
+                    k1, jnp.zeros((1, 64, 64, 3)))
+                self.text_params = self.text_tower.init(
+                    k2, jnp.zeros((1, 16), jnp.int32))
         self.negatives = list(negatives)
         self.neg_embeds = self.encode_text(self.negatives)
         self.positives: List[str] = []
         self.pos_embeds = None
 
     def encode_image(self, imgs) -> jnp.ndarray:
+        if self._vit is not None:
+            return self._vit.encode_image(imgs)
         return self.image_tower.apply(self.image_params, imgs)
 
     def encode_text(self, texts: Sequence[str]) -> jnp.ndarray:
+        if self._vit is not None:
+            if self._tokenizer is not None:
+                toks = self._tokenizer(list(texts))
+            else:
+                # no BPE vocab supplied: hash words into the model's vocab
+                # space with true SOT/EOT ids (EOT = argmax drives pooling)
+                ctx = self._vit.text.ctx_len
+                vocab = self._vit.text.vocab_size
+                toks = np.zeros((len(texts), ctx), np.int32)
+                for i, t in enumerate(texts):
+                    ws = [hash(w) % (vocab - 3) + 1
+                          for w in t.lower().split()][:ctx - 2]
+                    toks[i, 0] = vocab - 2   # <|startoftext|>
+                    toks[i, 1:1 + len(ws)] = ws
+                    toks[i, 1 + len(ws)] = vocab - 1  # <|endoftext|>
+            return self._vit.encode_text(jnp.asarray(toks))
         toks = jnp.asarray(np.stack([simple_tokenize(t) for t in texts]))
         return self.text_tower.apply(self.text_params, toks)
 

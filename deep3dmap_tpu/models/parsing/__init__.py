@@ -1,4 +1,5 @@
 from .bisenet import BiSeNet
+from .bisenet_fp import BiSeNetFP, FaceParser
 from .pspnet import PSPNet
 
-__all__ = ["BiSeNet", "PSPNet"]
+__all__ = ["BiSeNet", "BiSeNetFP", "FaceParser", "PSPNet"]

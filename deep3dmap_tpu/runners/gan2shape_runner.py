@@ -146,6 +146,12 @@ class Gan2ShapeRunner(BaseRunner):
             else dataset[self.epoch % len(dataset)]
         if isinstance(batch, dict) and batch["input_im"].ndim == 3:
             batch = {k: np.asarray(v)[None] for k, v in batch.items()}
+        model = getattr(self, "framework", None)
+        if (model is not None and getattr(model, "use_mask", False)
+                and "input_mask" not in batch):
+            # derive the instance's region mask once via the parsing model
+            # (gan2shape.py setup uses parse_mask per instance)
+            batch["input_mask"] = np.asarray(model.parse_mask(batch["input_im"]))
         self.call_hook("before_train_iter")
         self.fit_instance(batch)
         self.call_hook("after_train_iter")

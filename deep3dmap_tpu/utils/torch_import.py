@@ -32,6 +32,9 @@ __all__ = [
     "import_stylegan2_discriminator",
     "import_vgg16_features",
     "import_mnasnet_trunk",
+    "import_clip",
+    "clip_cfg_from_state_dict",
+    "import_bisenet",
     "fill_like",
     "merge_into",
 ]
@@ -272,3 +275,148 @@ def import_vgg16_features(sd: Mapping[str, np.ndarray]):
         out[f"params/Conv_{n}/kernel"] = conv_kernel(sd[f"{prefix}{idx}.weight"])
         out[f"params/Conv_{n}/bias"] = to_numpy(sd[f"{prefix}{idx}.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# CLIP (OpenAI / OpenCLIP ViT checkpoints) -> models/modulars/clip_vit.py
+# ---------------------------------------------------------------------------
+
+def clip_cfg_from_state_dict(sd: Mapping[str, np.ndarray]):
+    """Recover (vision_cfg, text_cfg) from a CLIP ViT state dict, the same
+    shape-sniffing the reference's build_model does
+    (/root/reference/deep3dmap/models/modulars/clip/model.py:392-420)."""
+    vw = sd["visual.conv1.weight"].shape
+    vision_width, patch = int(vw[0]), int(vw[-1])
+    vision_layers = len({k.split(".")[3] for k in sd
+                         if k.startswith("visual.transformer.resblocks.")})
+    grid = int(round(math.sqrt(sd["visual.positional_embedding"].shape[0] - 1)))
+    embed_dim = int(sd["text_projection"].shape[1])
+    text_width = int(sd["ln_final.weight"].shape[0])
+    text_layers = len({k.split(".")[2] for k in sd
+                       if k.startswith("transformer.resblocks.")})
+    vision_cfg = dict(patch=patch, width=vision_width, layers=vision_layers,
+                      heads=max(vision_width // 64, 1), embed_dim=embed_dim,
+                      image_size=patch * grid)
+    text_cfg = dict(vocab_size=int(sd["token_embedding.weight"].shape[0]),
+                    ctx_len=int(sd["positional_embedding"].shape[0]),
+                    width=text_width, layers=text_layers,
+                    heads=max(text_width // 64, 1), embed_dim=embed_dim)
+    return vision_cfg, text_cfg
+
+
+def _clip_blocks(sd: Mapping[str, np.ndarray], prefix: str, layers: int,
+                 out: Dict[str, np.ndarray]) -> None:
+    for i in range(layers):
+        src = f"{prefix}transformer.resblocks.{i}"
+        dst = f"resblock{i}"
+        out[f"{dst}/ln_1/scale"] = to_numpy(sd[f"{src}.ln_1.weight"])
+        out[f"{dst}/ln_1/bias"] = to_numpy(sd[f"{src}.ln_1.bias"])
+        out[f"{dst}/attn/in_proj/kernel"] = linear_kernel(sd[f"{src}.attn.in_proj_weight"])
+        out[f"{dst}/attn/in_proj/bias"] = to_numpy(sd[f"{src}.attn.in_proj_bias"])
+        out[f"{dst}/attn/out_proj/kernel"] = linear_kernel(sd[f"{src}.attn.out_proj.weight"])
+        out[f"{dst}/attn/out_proj/bias"] = to_numpy(sd[f"{src}.attn.out_proj.bias"])
+        out[f"{dst}/ln_2/scale"] = to_numpy(sd[f"{src}.ln_2.weight"])
+        out[f"{dst}/ln_2/bias"] = to_numpy(sd[f"{src}.ln_2.bias"])
+        out[f"{dst}/mlp_c_fc/kernel"] = linear_kernel(sd[f"{src}.mlp.c_fc.weight"])
+        out[f"{dst}/mlp_c_fc/bias"] = to_numpy(sd[f"{src}.mlp.c_fc.bias"])
+        out[f"{dst}/mlp_c_proj/kernel"] = linear_kernel(sd[f"{src}.mlp.c_proj.weight"])
+        out[f"{dst}/mlp_c_proj/bias"] = to_numpy(sd[f"{src}.mlp.c_proj.bias"])
+
+
+def import_clip(sd: Mapping[str, np.ndarray]):
+    """OpenAI/OpenCLIP ViT CLIP state dict -> (vision_cfg, text_cfg,
+    vision_params, text_params, logit_scale) for clip_vit.CLIPViT.
+
+    Key-matched: every transformer/embedding/projection weight of the
+    published checkpoints loads; fails loudly on any mismatch (fill_like)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.modulars.clip_vit import TextTransformer, VisionTransformer
+
+    sd = _strip_module(sd)
+    vision_cfg, text_cfg = clip_cfg_from_state_dict(sd)
+
+    v: Dict[str, np.ndarray] = {}
+    v["class_embedding"] = to_numpy(sd["visual.class_embedding"])
+    v["positional_embedding"] = to_numpy(sd["visual.positional_embedding"])
+    v["conv1/kernel"] = conv_kernel(sd["visual.conv1.weight"])
+    v["ln_pre/scale"] = to_numpy(sd["visual.ln_pre.weight"])
+    v["ln_pre/bias"] = to_numpy(sd["visual.ln_pre.bias"])
+    _clip_blocks(sd, "visual.", vision_cfg["layers"], v)
+    v["ln_post/scale"] = to_numpy(sd["visual.ln_post.weight"])
+    v["ln_post/bias"] = to_numpy(sd["visual.ln_post.bias"])
+    v["proj"] = to_numpy(sd["visual.proj"])  # stored (width, embed) already
+
+    t: Dict[str, np.ndarray] = {}
+    t["token_embedding/embedding"] = to_numpy(sd["token_embedding.weight"])
+    t["positional_embedding"] = to_numpy(sd["positional_embedding"])
+    _clip_blocks(sd, "", text_cfg["layers"], t)
+    t["ln_final/scale"] = to_numpy(sd["ln_final.weight"])
+    t["ln_final/bias"] = to_numpy(sd["ln_final.bias"])
+    t["text_projection"] = to_numpy(sd["text_projection"])
+
+    rng = jax.random.PRNGKey(0)
+    s = vision_cfg["image_size"]
+    v_tpl = VisionTransformer(**vision_cfg).init(rng, jnp.zeros((1, s, s, 3)))
+    t_tpl = TextTransformer(**text_cfg).init(
+        rng, jnp.zeros((1, text_cfg["ctx_len"]), jnp.int32))
+    vision_params = fill_like(v_tpl, {"params/" + k: x for k, x in v.items()})
+    text_params = fill_like(t_tpl, {"params/" + k: x for k, x in t.items()})
+    logit_scale = float(np.exp(to_numpy(sd["logit_scale"]))) if "logit_scale" in sd else 100.0
+    return vision_cfg, text_cfg, vision_params, text_params, logit_scale
+
+
+# ---------------------------------------------------------------------------
+# face-parsing BiSeNet -> models/parsing/bisenet_fp.py
+# ---------------------------------------------------------------------------
+
+def import_bisenet(sd: Mapping[str, np.ndarray], n_classes: int = 19):
+    """face-parsing BiSeNet checkpoint (the one the reference's Gan2Shape
+    loads, gan2shape.py:316-317) -> params for parsing.bisenet_fp.BiSeNetFP.
+
+    BatchNorms fold into the preceding convs (exact for the eval-mode use).
+    Aux training heads (conv_out16/conv_out32) are dropped — the reference's
+    forward also only consumes out[0] (gan2shape.py:346-347)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.parsing.bisenet_fp import BiSeNetFP
+
+    sd = _strip_module(sd)
+    out: Dict[str, np.ndarray] = {}
+
+    def put(dst, conv_key, bn_key):
+        k, b = _fold_bn(sd, conv_key, bn_key)
+        out[f"params/{dst}/kernel"] = k
+        out[f"params/{dst}/bias"] = b
+
+    put("resnet/conv1", "cp.resnet.conv1", "cp.resnet.bn1")
+    for L, ch in ((1, 64), (2, 128), (3, 256), (4, 512)):
+        for B in range(2):
+            src = f"cp.resnet.layer{L}.{B}"
+            dst = f"resnet/layer{L}_{B}"
+            put(f"{dst}/conv1", f"{src}.conv1", f"{src}.bn1")
+            put(f"{dst}/conv2", f"{src}.conv2", f"{src}.bn2")
+            if L > 1 and B == 0:
+                put(f"{dst}/downsample", f"{src}.downsample.0",
+                    f"{src}.downsample.1")
+    for arm in ("arm16", "arm32"):
+        put(f"{arm}/conv", f"cp.{arm}.conv.conv", f"cp.{arm}.conv.bn")
+        put(f"{arm}/conv_atten", f"cp.{arm}.conv_atten", f"cp.{arm}.bn_atten")
+    put("conv_avg", "cp.conv_avg.conv", "cp.conv_avg.bn")
+    put("conv_head16", "cp.conv_head16.conv", "cp.conv_head16.bn")
+    put("conv_head32", "cp.conv_head32.conv", "cp.conv_head32.bn")
+    put("ffm_convblk", "ffm.convblk.conv", "ffm.convblk.bn")
+    out["params/ffm_conv1/kernel"] = conv_kernel(sd["ffm.conv1.weight"])
+    out["params/ffm_conv2/kernel"] = conv_kernel(sd["ffm.conv2.weight"])
+    put("out_conv", "conv_out.conv.conv", "conv_out.conv.bn")
+    out["params/out_cls/kernel"] = conv_kernel(sd["conv_out.conv_out.weight"])
+    out["params/out_cls/bias"] = (
+        to_numpy(sd["conv_out.conv_out.bias"])
+        if "conv_out.conv_out.bias" in sd
+        else np.zeros(sd["conv_out.conv_out.weight"].shape[0], np.float32))
+
+    template = jax.jit(BiSeNetFP(n_classes=n_classes).init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return fill_like(template, out)

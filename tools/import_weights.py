@@ -38,7 +38,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("kind", choices=["stylegan2", "stylegan2_g", "stylegan2_d",
-                                     "vgg16", "mnasnet"])
+                                     "vgg16", "mnasnet", "clip", "bisenet"])
     ap.add_argument("src", help=".pth checkpoint path")
     ap.add_argument("dst", help="output .npz path")
     ap.add_argument("--size", type=int, default=128)
@@ -114,6 +114,33 @@ def main():
         params = import_mnasnet_trunk(sd, template)
         out["params"] = np.array(
             jax.tree_util.tree_map(np.asarray, params), dtype=object)
+    elif args.kind == "clip":
+        # OpenAI/OpenCLIP ViT checkpoint (state dict or jit archive already
+        # unwrapped to a state dict) -> CLIPViT npz: vision/text trees + meta.
+        # Load with models/modulars/clip_vit.CLIPViT.from_npz, or point the
+        # LERF config's clip_weights at it (parity: the reference's LERF
+        # uses pretrained OpenCLIP ViT-B/16, ns_encoders/openclip_encoder.py).
+        import jax
+        from deep3dmap_tpu.utils.torch_import import import_clip
+        sd = raw.get("state_dict", raw)
+        sd = {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+        vision_cfg, text_cfg, vp, tp, logit_scale = import_clip(sd)
+        out["vision"] = np.array(jax.tree_util.tree_map(np.asarray, vp),
+                                 dtype=object)
+        out["text"] = np.array(jax.tree_util.tree_map(np.asarray, tp),
+                               dtype=object)
+        out["meta"] = np.array(dict(vision_cfg=vision_cfg, text_cfg=text_cfg,
+                                    logit_scale=logit_scale), dtype=object)
+    elif args.kind == "bisenet":
+        # face-parsing BiSeNet checkpoint -> BiSeNetFP params (BN folded).
+        # Use as Gan2Shape model_cfgs parsing_ckpt (use_mask=True).
+        import jax
+        from deep3dmap_tpu.utils.torch_import import import_bisenet
+        sd = raw.get("state_dict", raw)
+        sd = {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+        params = import_bisenet(sd)
+        out["params"] = np.array(
+            jax.tree_util.tree_map(np.asarray, params), dtype=object)
     else:  # vgg16
         from deep3dmap_tpu.models.losses.perceptual_loss import _VGGFeatures
         import jax.numpy as jnp
@@ -126,7 +153,7 @@ def main():
 
     np.savez(args.dst, **out)
     for k, v in out.items():
-        n = sum(x.size for x in _leaves(v.item()))
+        n = sum(getattr(x, "size", 0) for x in _leaves(v.item()))
         print(f"wrote {k}: {n / 1e6:.2f}M params")
 
 
