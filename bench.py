@@ -33,7 +33,10 @@ def main():
         N_LAYER=3, N_VOX=[96, 96, 96], VOXEL_SIZE=0.04,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
         FUSION=dict(FUSION_ON=True, FULL=True), LW=[1.0, 0.8, 0.64],
-        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5, BACKBONE2D=dict(ARC="fpn-mnas-1"))
+        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5, BACKBONE2D=dict(ARC="fpn-mnas-1"),
+        # block-sparse fine levels: compute scales with occupancy like the
+        # reference's sparse conv, but every matmul stays dense on the MXU
+        SPARSE_MODE="block", BLOCK_SIZE=8)
     fw = NeuralRecon(model_cfgs)
 
     sample = make_fragment_sample(seed=0, n_views=n_views, img_size=(480, 640),

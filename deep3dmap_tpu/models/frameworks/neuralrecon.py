@@ -36,9 +36,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.back_project import back_project_batch, back_project_masked_batch
+from functools import partial
+
+from ...ops.back_project import (back_project_batch, back_project_masked_batch,
+                                 back_project_sparse, _voxel_world_from_flat)
+from ...ops.block_sparse import (block_mask_from_voxels, block_voxel_indices,
+                                 blocks_to_dense, blocks_to_dense_over,
+                                 dense_to_blocks, select_blocks)
 from ..backbones.fpn2d import MnasFPN
 from ..builder import RECONSTRUCTORS
+from ..modulars.block_dense3d import BlockConvGRU3D, BlockUNet3D, _up2_block
 from ..modulars.conv_gru3d import ConvGRU3D
 from ..modulars.dense3d import UNet3D, _up2
 from ..modulars.global_volume import (
@@ -94,6 +101,14 @@ class NeuralReconNet(nn.Module):
     # back-projection gather-table dtype: the op is gather-bound on TPU and
     # bfloat16 halves the gathered bytes (~1.7x); weights/means stay fp32
     bp_gather_dtype: Optional[str] = "bfloat16"
+    # "dense": dense-masked pyramid (all voxels convolved, loss-masked);
+    # "block": block-sparse fine levels — fixed-capacity active 8³ blocks,
+    # back-projection/UNet/GRU run only on active blocks (ops/block_sparse.py),
+    # the TPU-native counterpart of the reference's torchsparse sparse conv
+    sparse_mode: str = "dense"
+    block_size: int = 8
+    # active-block capacity per level (level 0 ignored: always dense)
+    max_blocks: Sequence = (None, 64, 256)
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, vol_origin_partial,
@@ -141,6 +156,89 @@ class NeuralReconNet(nn.Module):
             proj = proj_matrices[:, :, scale]
             cap = self.num_sample[i]
             gdt = jnp.dtype(self.bp_gather_dtype) if self.bp_gather_dtype else None
+            if i > 0 and self.sparse_mode == "block":
+                # ---- block-sparse level: all compute on active 8³ blocks ----
+                bs = self.block_size
+                if dim % bs or (dim // 2) % (bs // 2):
+                    raise ValueError(
+                        f"SPARSE_MODE='block' needs level dims divisible by "
+                        f"BLOCK_SIZE={bs}; level {i} is {dim}³")
+                nb = dim // bs
+                maxb = self.max_blocks[i] or nb ** 3
+                maxb = min(int(maxb), nb ** 3)
+                # active blocks = blocks containing any occupied parent voxel
+                # (the parent grid at dim/2 blocked at bs/2 has the same nb)
+                bset = select_blocks(
+                    block_mask_from_voxels(prev_mask, bs // 2), maxb, bs)
+                vidx = block_voxel_indices(bset)          # (B, MAXB*bs³)
+                slot_valid = jnp.repeat(bset.valid, bs ** 3, axis=1)
+
+                bp = jax.vmap(partial(
+                    back_project_sparse, dim=dim, voxel_size=self.voxel_size,
+                    interval=interval, gather_dtype=gdt))
+                f, cnt = bp(feats, proj, vol_origin_partial, vidx, slot_valid)
+                Cb = f.shape[-1]
+                volume_b = f.reshape(B, maxb, bs, bs, bs, Cb)
+                cnt_b = cnt.reshape(B, maxb, bs, bs, bs)
+                count_mask = blocks_to_dense(
+                    cnt_b[..., None], bset)[..., 0] > 1
+
+                # parent-level context, gathered block-wise and upsampled 2x
+                pset = bset._replace(bs=bs // 2)
+                gather_up = lambda v: _up2_block(dense_to_blocks(v, pset))
+                up_feat = gather_up(prev_feat)
+                up_tsdf = gather_up(prev_tsdf)
+                up_occ = gather_up(prev_occ)
+                vox_mask_b = gather_up(
+                    prev_mask[..., None].astype(jnp.float32))[..., 0]
+                parts = [volume_b, up_feat, up_tsdf, up_occ]
+
+                if self.add_coord_feats:
+                    world = jax.vmap(partial(
+                        _voxel_world_from_flat, dim=dim,
+                        voxel_size=self.voxel_size, interval=interval))(
+                        vidx, origin=vol_origin_partial)  # (B, K, 3)
+                    R = world_to_aligned_camera[:, :3, :3]
+                    t = world_to_aligned_camera[:, :3, 3]
+                    ali = jnp.einsum("bkj,bij->bki", world, R) + t[:, None, :]
+                    ali = ali / (self.n_vox * self.voxel_size)
+                    parts.append(ali.reshape(B, maxb, bs, bs, bs, 3))
+
+                feat_in = jnp.concatenate(parts, axis=-1)
+                feat_in = feat_in * vox_mask_b[..., None].astype(feat_in.dtype)
+
+                feat_b = BlockUNet3D(self.out_channels[i], cr=1.0 / (2 ** i),
+                                     name=f"unet{i}")(feat_in, bset)
+                if self.fusion_on:
+                    h_b = dense_to_blocks(hidden_windows[i], bset)
+                    feat_b = BlockConvGRU3D(self.out_channels[i],
+                                            name=f"gru{i}")(h_b, feat_b, bset)
+                    # inactive blocks keep their old hidden state
+                    outputs["new_hidden"].append(blocks_to_dense_over(
+                        feat_b, bset, hidden_windows[i]))
+
+                tsdf_b = nn.Dense(1, name=f"tsdf_pred{i}")(feat_b)
+                occ_b = nn.Dense(1, name=f"occ_pred{i}")(feat_b)
+
+                tsdf = blocks_to_dense(tsdf_b, bset, fill=1.0)
+                occ = blocks_to_dense(occ_b, bset)
+                sparse_mask = blocks_to_dense(
+                    vox_mask_b[..., None], bset)[..., 0] > 0.5
+
+                outputs["tsdf"].append(tsdf)
+                outputs["occ"].append(occ)
+                outputs["count_mask"].append(count_mask)
+                outputs["sparse_mask"].append(sparse_mask)
+
+                occupancy = (occ[..., 0] > self.thresholds[i]) & sparse_mask
+                if not self.fusion_on:
+                    occupancy = occupancy & count_mask
+                if i < self.n_layers - 1:
+                    # the next level re-gathers parent context block-wise, so
+                    # only then does the feature volume go dense
+                    prev_feat = blocks_to_dense(feat_b, bset)
+                prev_tsdf, prev_occ, prev_mask = tsdf, occ, occupancy
+                continue
             if i > 0 and cap is not None and cap < dim ** 3:
                 up_mask = _up2(prev_mask[..., None])[..., 0]
                 volume, count = back_project_masked_batch(
@@ -242,6 +340,15 @@ class NeuralRecon(BaseFramework):
                 dim_i = self.n_vox // 2 ** (self.n_layers - 1 - i)
                 num_sample[i] = min(int(train_ns[i - 1]) * 8, dim_i ** 3)
         self.num_sample = tuple(cfg.get("NUM_SAMPLE", num_sample))
+        # block-sparse fine levels (SPARSE_MODE="block"): capacity in blocks
+        # defaults to the voxel budget / block volume
+        self.sparse_mode = cfg.get("SPARSE_MODE", "dense")
+        self.block_size = int(cfg.get("BLOCK_SIZE", 8))
+        max_blocks = [None] * self.n_layers
+        for i in range(1, self.n_layers):
+            if self.num_sample[i] is not None:
+                max_blocks[i] = -(-int(self.num_sample[i]) // self.block_size ** 3)
+        self.max_blocks = tuple(cfg.get("MAX_BLOCKS", max_blocks))
         # global hidden-state extent per scale, in that scale's voxel units
         self.global_dims = tuple(cfg.get("GLOBAL_DIMS",
                                          [self.n_vox // 2 ** (self.n_layers - 1 - s)
@@ -254,7 +361,9 @@ class NeuralRecon(BaseFramework):
             backbone_torch_pad=self.backbone_torch_pad,
             backbone_freeze=self.backbone_freeze,
             fusion_on=self.fusion_on, out_channels=self.out_channels,
-            thresholds=self.thresholds, num_sample=self.num_sample)
+            thresholds=self.thresholds, num_sample=self.num_sample,
+            sparse_mode=self.sparse_mode, block_size=self.block_size,
+            max_blocks=self.max_blocks)
 
     def _graft_backbone(self, params, ckpt_path):
         """Graft an imported MnasFPN param tree (tools/import_weights.py

@@ -134,6 +134,14 @@ def gather_halo(blocks: jnp.ndarray, bset: BlockSet, halo: int = 1) -> jnp.ndarr
     Assembles each active block's 27-neighborhood (inactive neighbors and
     out-of-volume positions read as zeros) and crops the halo window — the
     block-granular equivalent of the sparse conv's neighbor lookup.
+
+    Traffic engineering: a naive gather of 27 full neighbor blocks moves 27x
+    the block bytes per conv.  Instead the source array is pre-sliced into
+    the 3x3x3 slab categories a halo window actually consumes (lo-h voxels /
+    full bs / hi-h voxels per axis), each category is gathered with its own
+    neighbor-offset id table, and the window is assembled with nested
+    concatenates — total gathered bytes = the (bs+2h)³ window exactly
+    (~(1+2h/bs)³ x block bytes, ~2x at bs=8, h=1 instead of 27x).
     """
     B, maxb, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
     C = blocks.shape[-1]
@@ -145,36 +153,60 @@ def gather_halo(blocks: jnp.ndarray, bset: BlockSet, halo: int = 1) -> jnp.ndarr
     by = (bset.ids // nb) % nb
     bz = bset.ids % nb  # (B, MAXB)
 
-    off = jnp.arange(-1, 2)
-    ox, oy, oz = jnp.meshgrid(off, off, off, indexing="ij")
-    ox, oy, oz = ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)  # (27,)
+    def slot_for(dx, dy, dz):
+        """Neighbor slot ids at offset (dx,dy,dz); -1 -> zeros."""
+        nx, ny, nz = bx + dx, by + dy, bz + dz
+        inb = ((nx >= 0) & (nx < nb) & (ny >= 0) & (ny < nb)
+               & (nz >= 0) & (nz < nb))
+        nid = (jnp.clip(nx, 0, nb - 1) * nb + jnp.clip(ny, 0, nb - 1)) * nb \
+            + jnp.clip(nz, 0, nb - 1)
+        ns = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(bset.slot_of, nid)
+        ns = jnp.where(inb, ns, -1)
+        return jnp.where(bset.valid, ns, -1)  # (B, MAXB)
 
-    nx = bx[..., None] + ox
-    ny = by[..., None] + oy
-    nz = bz[..., None] + oz  # (B, MAXB, 27)
-    inb = ((nx >= 0) & (nx < nb) & (ny >= 0) & (ny < nb)
-           & (nz >= 0) & (nz < nb))
-    nid = (jnp.clip(nx, 0, nb - 1) * nb + jnp.clip(ny, 0, nb - 1)) * nb \
-        + jnp.clip(nz, 0, nb - 1)
+    # per-axis slab slices a window consumes from a neighbor at offset d:
+    #   d=-1 -> the neighbor's last h voxels; d=0 -> all; d=+1 -> first h
+    sl = {-1: slice(bs - halo, bs), 0: slice(0, bs), 1: slice(0, halo)}
 
-    # neighbor slot (-1 = inactive / out of volume -> zero block)
-    nslot = jax.vmap(lambda s, i: jnp.take(s, i.reshape(-1), axis=0))(
-        bset.slot_of, nid).reshape(B, maxb, 27)
-    nslot = jnp.where(inb, nslot, -1)
-    nslot = jnp.where(bset.valid[:, :, None], nslot, -1)
+    def piece(dx, dy, dz):
+        src = blocks[:, :, sl[dx], sl[dy], sl[dz], :]
+        zero = jnp.zeros((B, 1) + src.shape[2:], blocks.dtype)
+        table = jnp.concatenate([src, zero], axis=1)  # (B, MAXB+1, ...)
+        s = slot_for(dx, dy, dz)
+        safe = jnp.where(s >= 0, s, maxb)
+        return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(table, safe)
 
-    # gather neighbor blocks; slot -1 -> appended zero block
-    zero = jnp.zeros((B, 1, bs, bs, bs, C), blocks.dtype)
-    table = jnp.concatenate([blocks, zero], axis=1)  # (B, MAXB+1, ...)
-    safe = jnp.where(nslot >= 0, nslot, maxb)
-    nbrs = jax.vmap(lambda t, i: jnp.take(t, i.reshape(-1), axis=0))(
-        table, safe).reshape(B, maxb, 3, 3, 3, bs, bs, bs, C)
+    offs = (-1, 0, 1)
+    xs = []
+    for dx in offs:
+        ys = []
+        for dy in offs:
+            ys.append(jnp.concatenate([piece(dx, dy, dz) for dz in offs],
+                                      axis=4))
+        xs.append(jnp.concatenate(ys, axis=3))
+    return jnp.concatenate(xs, axis=2)
 
-    # assemble (3bs)³ and crop the halo window
-    big = nbrs.transpose(0, 1, 2, 5, 3, 6, 4, 7, 8)
-    big = big.reshape(B, maxb, 3 * bs, 3 * bs, 3 * bs, C)
-    lo, hi = bs - halo, 2 * bs + halo
-    return big[:, :, lo:hi, lo:hi, lo:hi, :]
+
+def blocks_to_dense_over(blocks: jnp.ndarray, bset: BlockSet,
+                         base: jnp.ndarray) -> jnp.ndarray:
+    """Scatter active blocks onto an existing dense volume.
+
+    Inactive blocks keep ``base``'s data — the block-granular analogue of the
+    reference GRU fusion updating only the current sparse set of the global
+    hidden volume (gru_fusion.py:122-150).
+    """
+    B, maxb, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
+    nb = bset.nb
+    blocked = _to_blocked(base, bs)  # (B, nb³, bs,bs,bs,C)
+
+    def one(bb, blk, ids, valid):
+        pad = jnp.zeros((1,) + bb.shape[1:], bb.dtype)
+        bb = jnp.concatenate([bb, pad], axis=0)
+        safe = jnp.where(valid, ids, nb ** 3)
+        return bb.at[safe].set(blk)[:-1]
+
+    blocked = jax.vmap(one)(blocked, blocks, bset.ids, bset.valid)
+    return _from_blocked(blocked, nb)
 
 
 def block_voxel_indices(bset: BlockSet) -> jnp.ndarray:

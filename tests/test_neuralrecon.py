@@ -174,3 +174,98 @@ def test_backbone_ckpt_shape_mismatch(tmp_path, batch):
     fw = NeuralRecon(cfgs)
     with pytest.raises(ValueError, match="shape"):
         fw.init(jax.random.PRNGKey(0), batch)
+
+
+# ---- block-sparse mode (SPARSE_MODE="block") ------------------------------
+
+BLOCK_CFGS = dict(
+    N_LAYER=3,
+    N_VOX=[32, 32, 32],
+    VOXEL_SIZE=0.08,
+    TRAIN_NUM_SAMPLE=[64, 256],
+    FUSION=dict(FUSION_ON=True, FULL=True),
+    LW=[1.0, 0.8, 0.64],
+    THRESHOLDS=[0, 0, 0],
+    POS_WEIGHT=1.5,
+    BACKBONE2D=dict(ARC="fpn-mnas-0.5"),
+    SPARSE_MODE="block",
+    BLOCK_SIZE=8,
+    MAX_BLOCKS=[None, 4, 24],
+)
+
+
+@pytest.fixture(scope="module")
+def block_batch():
+    samples = [make_fragment_sample(seed=i, n_views=3, img_size=(64, 64),
+                                    n_vox=32, voxel_size=0.08) for i in range(2)]
+    return _stack_samples(samples)
+
+
+@pytest.fixture(scope="module")
+def block_fw_and_state(block_batch):
+    fw = NeuralRecon(BLOCK_CFGS)
+    params, mstate = fw.init(jax.random.PRNGKey(0), block_batch)
+    return fw, params, mstate
+
+
+def test_block_mode_shapes_and_masks(block_batch, block_fw_and_state):
+    fw, params, mstate = block_fw_and_state
+    out, new_state = fw._apply(params, mstate, block_batch)
+    dims = [8, 16, 32]
+    for i, d in enumerate(dims):
+        assert out["tsdf"][i].shape == (2, d, d, d, 1)
+        assert out["occ"][i].shape == (2, d, d, d, 1)
+        assert out["sparse_mask"][i].shape == (2, d, d, d)
+    # block levels: the sparse set never exceeds the active-block capacity
+    for i, maxb in [(1, 4), (2, 24)]:
+        n_sparse = int(np.asarray(out["sparse_mask"][i]).sum(axis=(1, 2, 3)).max())
+        assert n_sparse <= maxb * 8 ** 3
+
+
+def test_block_mode_loss_and_grads(block_batch, block_fw_and_state):
+    fw, params, mstate = block_fw_and_state
+    (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+        params, mstate, block_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # block UNet/GRU params received gradient
+    flat = {"/".join(str(k) for k in p): g
+            for p, g in jax.tree_util.tree_leaves_with_path(grads)}
+    assert any("unet2" in k and float(jnp.abs(g).sum()) > 0 for k, g in flat.items())
+
+
+def test_block_mode_inactive_hidden_preserved(block_batch, block_fw_and_state):
+    """GRU hidden outside the active block set must keep its old value
+    (parity: gru_fusion.py:122-150 updates only the current sparse set)."""
+    fw, params, mstate = block_fw_and_state
+    old_vols = [v + 0.37 for v in mstate["global_hidden"].volumes]
+    mstate2 = dict(mstate, global_hidden=mstate["global_hidden"]._replace(
+        volumes=tuple(old_vols)))
+    batch2 = dict(block_batch)
+    if "scene_reset" in batch2:  # keep the carried state (no new-scene reset)
+        batch2["scene_reset"] = jnp.zeros_like(batch2["scene_reset"])
+    out, new_state = fw._apply(params, mstate2, batch2)
+    for i in (1, 2):
+        sm = np.asarray(out["sparse_mask"][i])  # voxels inside active blocks
+        new_v = np.asarray(new_state["global_hidden"].volumes[i])
+        old_v = np.asarray(old_vols[i])
+        d = new_v.shape[1]
+        bs = 8
+        nb = d // bs
+        # block-granular activity map from the sparse mask
+        act = sm.reshape(2, nb, bs, nb, bs, nb, bs).any((2, 4, 6))
+        act_vox = np.repeat(np.repeat(np.repeat(act, bs, 1), bs, 2), bs, 3)
+        inactive = ~act_vox
+        assert np.allclose(new_v[inactive], old_v[inactive]), \
+            f"level {i}: hidden changed outside active blocks"
+
+
+def test_block_mode_forward_test(block_batch, block_fw_and_state):
+    fw, params, mstate = block_fw_and_state
+    out, new_state = jax.jit(fw.forward_test)(params, mstate, block_batch)
+    assert out["tsdf"].shape == (2, 32, 32, 32)
+    assert np.isfinite(np.asarray(out["tsdf"])).all()
+    # unoccupied voxels read as empty space
+    occ = np.asarray(out["occ"])
+    assert ((occ >= 0) & (occ <= 1)).all()
