@@ -42,7 +42,8 @@ from ...ops.back_project import (back_project_batch, back_project_masked_batch,
                                  back_project_sparse, _voxel_world_from_flat)
 from ...ops.block_sparse import (block_mask_from_voxels, block_voxel_indices,
                                  blocks_to_dense, blocks_to_dense_over,
-                                 dense_to_blocks, select_blocks)
+                                 child_block_mask, dense_to_blocks,
+                                 gather_parent_octants, select_blocks)
 from ..backbones.fpn2d import MnasFPN
 from ..builder import RECONSTRUCTORS
 from ..modulars.block_dense3d import BlockConvGRU3D, BlockUNet3D, _up2_block
@@ -109,6 +110,9 @@ class NeuralReconNet(nn.Module):
     block_size: int = 8
     # active-block capacity per level (level 0 ignored: always dense)
     max_blocks: Sequence = (None, 64, 256)
+    # conv compute dtype for the block UNet/GRU stacks ("bfloat16" halves
+    # halo-gather bytes and MXU cycles; params/state stay float32)
+    block_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, vol_origin_partial,
@@ -146,6 +150,7 @@ class NeuralReconNet(nn.Module):
         outputs: Dict[str, Any] = {"tsdf": [], "occ": [], "count_mask": [],
                                    "sparse_mask": [], "new_hidden": []}
         prev_feat = prev_tsdf = prev_occ = prev_mask = None
+        prev_block = None  # block-domain carry between consecutive block levels
 
         for i in range(self.n_layers):
             scale = n_scales - i
@@ -166,10 +171,16 @@ class NeuralReconNet(nn.Module):
                 nb = dim // bs
                 maxb = self.max_blocks[i] or nb ** 3
                 maxb = min(int(maxb), nb ** 3)
-                # active blocks = blocks containing any occupied parent voxel
-                # (the parent grid at dim/2 blocked at bs/2 has the same nb)
-                bset = select_blocks(
-                    block_mask_from_voxels(prev_mask, bs // 2), maxb, bs)
+                # active blocks = blocks containing any occupied parent voxel.
+                # Parent dense (first block level): reduce the dense mask.
+                # Parent block-domain: scatter parent octant activity onto the
+                # child block grid — no dense volume in between.
+                if prev_block is None:
+                    bmask = block_mask_from_voxels(prev_mask, bs // 2)
+                else:
+                    bmask = child_block_mask(prev_block["occm"],
+                                             prev_block["bset"])
+                bset = select_blocks(bmask, maxb, bs)
                 vidx = block_voxel_indices(bset)          # (B, MAXB*bs³)
                 slot_valid = jnp.repeat(bset.valid, bs ** 3, axis=1)
 
@@ -184,13 +195,32 @@ class NeuralReconNet(nn.Module):
                     cnt_b[..., None], bset)[..., 0] > 1
 
                 # parent-level context, gathered block-wise and upsampled 2x
-                pset = bset._replace(bs=bs // 2)
-                gather_up = lambda v: _up2_block(dense_to_blocks(v, pset))
-                up_feat = gather_up(prev_feat)
-                up_tsdf = gather_up(prev_tsdf)
-                up_occ = gather_up(prev_occ)
-                vox_mask_b = gather_up(
-                    prev_mask[..., None].astype(jnp.float32))[..., 0]
+                if prev_block is None:
+                    # parent is a dense level: gather from its dense volumes
+                    pset = bset._replace(bs=bs // 2)
+                    gather_up = lambda v: _up2_block(dense_to_blocks(v, pset))
+                    up_feat = gather_up(prev_feat)
+                    up_tsdf = gather_up(prev_tsdf)
+                    up_occ = gather_up(prev_occ)
+                    vox_mask_b = gather_up(
+                        prev_mask[..., None].astype(jnp.float32))[..., 0]
+                else:
+                    # parent is block-domain: one octant gather for the whole
+                    # context stack (feat | tsdf | occ | mask), fill = empty
+                    # space (tsdf=1) where the parent block is inactive
+                    pb = prev_block
+                    Cp = pb["feat"].shape[-1]
+                    ctx = jnp.concatenate(
+                        [pb["feat"], pb["tsdf"], pb["occ"],
+                         pb["occm"][..., None].astype(pb["feat"].dtype)],
+                        axis=-1)
+                    fill = jnp.zeros((Cp + 3,), ctx.dtype).at[Cp].set(1.0)
+                    g = _up2_block(gather_parent_octants(
+                        ctx, pb["bset"], bset, fill=fill))
+                    up_feat = g[..., :Cp]
+                    up_tsdf = g[..., Cp:Cp + 1]
+                    up_occ = g[..., Cp + 1:Cp + 2]
+                    vox_mask_b = g[..., Cp + 2]
                 parts = [volume_b, up_feat, up_tsdf, up_occ]
 
                 if self.add_coord_feats:
@@ -207,11 +237,12 @@ class NeuralReconNet(nn.Module):
                 feat_in = jnp.concatenate(parts, axis=-1)
                 feat_in = feat_in * vox_mask_b[..., None].astype(feat_in.dtype)
 
+                bdt = jnp.dtype(self.block_dtype) if self.block_dtype else None
                 feat_b = BlockUNet3D(self.out_channels[i], cr=1.0 / (2 ** i),
-                                     name=f"unet{i}")(feat_in, bset)
+                                     dtype=bdt, name=f"unet{i}")(feat_in, bset)
                 if self.fusion_on:
                     h_b = dense_to_blocks(hidden_windows[i], bset)
-                    feat_b = BlockConvGRU3D(self.out_channels[i],
+                    feat_b = BlockConvGRU3D(self.out_channels[i], dtype=bdt,
                                             name=f"gru{i}")(h_b, feat_b, bset)
                     # inactive blocks keep their old hidden state
                     outputs["new_hidden"].append(blocks_to_dense_over(
@@ -220,6 +251,9 @@ class NeuralReconNet(nn.Module):
                 tsdf_b = nn.Dense(1, name=f"tsdf_pred{i}")(feat_b)
                 occ_b = nn.Dense(1, name=f"occ_pred{i}")(feat_b)
 
+                # dense per-level outputs feed the (dense-target) loss; in
+                # inference only the final level is consumed, so XLA DCE drops
+                # the intermediate scatters
                 tsdf = blocks_to_dense(tsdf_b, bset, fill=1.0)
                 occ = blocks_to_dense(occ_b, bset)
                 sparse_mask = blocks_to_dense(
@@ -230,14 +264,14 @@ class NeuralReconNet(nn.Module):
                 outputs["count_mask"].append(count_mask)
                 outputs["sparse_mask"].append(sparse_mask)
 
-                occupancy = (occ[..., 0] > self.thresholds[i]) & sparse_mask
+                # block-domain occupancy carries to the next level without
+                # touching the dense volume
+                occupancy_b = ((occ_b[..., 0] > self.thresholds[i])
+                               & (vox_mask_b > 0.5))
                 if not self.fusion_on:
-                    occupancy = occupancy & count_mask
-                if i < self.n_layers - 1:
-                    # the next level re-gathers parent context block-wise, so
-                    # only then does the feature volume go dense
-                    prev_feat = blocks_to_dense(feat_b, bset)
-                prev_tsdf, prev_occ, prev_mask = tsdf, occ, occupancy
+                    occupancy_b = occupancy_b & (cnt_b > 1)
+                prev_block = dict(bset=bset, feat=feat_b, tsdf=tsdf_b,
+                                  occ=occ_b, occm=occupancy_b)
                 continue
             if i > 0 and cap is not None and cap < dim ** 3:
                 up_mask = _up2(prev_mask[..., None])[..., 0]
@@ -349,6 +383,7 @@ class NeuralRecon(BaseFramework):
             if self.num_sample[i] is not None:
                 max_blocks[i] = -(-int(self.num_sample[i]) // self.block_size ** 3)
         self.max_blocks = tuple(cfg.get("MAX_BLOCKS", max_blocks))
+        self.block_dtype = cfg.get("BLOCK_DTYPE")
         # global hidden-state extent per scale, in that scale's voxel units
         self.global_dims = tuple(cfg.get("GLOBAL_DIMS",
                                          [self.n_vox // 2 ** (self.n_layers - 1 - s)
@@ -363,7 +398,7 @@ class NeuralRecon(BaseFramework):
             fusion_on=self.fusion_on, out_channels=self.out_channels,
             thresholds=self.thresholds, num_sample=self.num_sample,
             sparse_mode=self.sparse_mode, block_size=self.block_size,
-            max_blocks=self.max_blocks)
+            max_blocks=self.max_blocks, block_dtype=self.block_dtype)
 
     def _graft_backbone(self, params, ckpt_path):
         """Graft an imported MnasFPN param tree (tools/import_weights.py

@@ -18,6 +18,8 @@ Input/output layout: (B, MAXB, bs, bs, bs, C) + a BlockSet.
 """
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,7 @@ class BlockGN(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid):
+        x = x.astype(jnp.float32)  # stats in f32 even for bf16 conv stacks
         C = x.shape[-1]
         groups = min(self.max_groups, C)
         while C % groups != 0:
@@ -57,21 +60,28 @@ class BlockGN(nn.Module):
 
 
 class BlockConv3D(nn.Module):
-    """3³ conv on halo-padded blocks: halo gather -> batched VALID conv."""
+    """3³ conv on halo-padded blocks: halo gather -> batched VALID conv.
+
+    ``dtype`` selects the conv compute dtype (bfloat16 halves both the halo
+    gather bytes and the MXU cycles; params stay float32)."""
 
     out_ch: int
     stride: int = 1
     use_bias: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, bset: BlockSet):
         B, maxb, bs = x.shape[0], x.shape[1], x.shape[2]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         h = gather_halo(x, bset._replace(bs=bs), halo=1)
         hs = h.shape[2]
         hb = h.reshape(B * maxb, hs, hs, hs, h.shape[-1])
         out = nn.Conv(self.out_ch, (3, 3, 3),
                       strides=(self.stride,) * 3,
-                      padding="VALID", use_bias=self.use_bias)(hb)
+                      padding="VALID", use_bias=self.use_bias,
+                      dtype=self.dtype)(hb)
         os_ = out.shape[1]
         out = out.reshape(B, maxb, os_, os_, os_, self.out_ch)
         return _mask_slots(out, bset.valid)
@@ -80,29 +90,33 @@ class BlockConv3D(nn.Module):
 class BlockConvBlock3D(nn.Module):
     out_ch: int
     stride: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, bset):
-        x = BlockConv3D(self.out_ch, stride=self.stride)(x, bset)
+        x = BlockConv3D(self.out_ch, stride=self.stride,
+                        dtype=self.dtype)(x, bset)
         x = BlockGN()(x, bset.valid)
         return nn.relu(x)
 
 
 class BlockResBlock3D(nn.Module):
     out_ch: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, bset):
-        h = BlockConvBlock3D(self.out_ch)(x, bset)
-        h = BlockConv3D(self.out_ch)(h, bset)
+        h = BlockConvBlock3D(self.out_ch, dtype=self.dtype)(x, bset)
+        h = BlockConv3D(self.out_ch, dtype=self.dtype)(h, bset)
         h = BlockGN()(h, bset.valid)
         if x.shape[-1] != self.out_ch:
             B, maxb = x.shape[0], x.shape[1]
             sp = x.shape[2]
             xb = x.reshape(B * maxb, sp, sp, sp, x.shape[-1])
-            xb = nn.Conv(self.out_ch, (1, 1, 1), use_bias=False)(xb)
+            xb = nn.Conv(self.out_ch, (1, 1, 1), use_bias=False,
+                         dtype=self.dtype)(xb)
             x = xb.reshape(B, maxb, sp, sp, sp, self.out_ch)
-        return nn.relu(x + h)
+        return nn.relu(x.astype(h.dtype) + h)
 
 
 def _up2_block(x):
@@ -118,43 +132,52 @@ class BlockUNet3D(nn.Module):
 
     out_ch: int
     cr: float = 1.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, bset: BlockSet):
         cs = [max(int(c * self.cr), 8) for c in (32, 64, 128, 96, 96)]
-        stem = BlockConvBlock3D(cs[0])(x, bset)
+        dt = self.dtype
+        stem = BlockConvBlock3D(cs[0], dtype=dt)(x, bset)
 
-        d1 = BlockConvBlock3D(cs[1], stride=2)(stem, bset)
-        d1 = BlockResBlock3D(cs[1])(d1, bset)
-        d2 = BlockConvBlock3D(cs[2], stride=2)(d1, bset)
-        d2 = BlockResBlock3D(cs[2])(d2, bset)
+        d1 = BlockConvBlock3D(cs[1], stride=2, dtype=dt)(stem, bset)
+        d1 = BlockResBlock3D(cs[1], dtype=dt)(d1, bset)
+        d2 = BlockConvBlock3D(cs[2], stride=2, dtype=dt)(d1, bset)
+        d2 = BlockResBlock3D(cs[2], dtype=dt)(d2, bset)
 
         u1 = _up2_block(d2)
-        u1 = BlockResBlock3D(cs[3])(jnp.concatenate([u1, d1], axis=-1), bset)
+        u1 = BlockResBlock3D(cs[3], dtype=dt)(jnp.concatenate([u1, d1], axis=-1), bset)
         u2 = _up2_block(u1)
-        u2 = BlockResBlock3D(cs[4])(jnp.concatenate([u2, stem], axis=-1), bset)
+        u2 = BlockResBlock3D(cs[4], dtype=dt)(jnp.concatenate([u2, stem], axis=-1), bset)
 
         B, maxb, bs = u2.shape[0], u2.shape[1], u2.shape[2]
         ub = u2.reshape(B * maxb, bs, bs, bs, u2.shape[-1])
-        out = nn.Conv(self.out_ch, (1, 1, 1))(ub)
+        out = nn.Conv(self.out_ch, (1, 1, 1), dtype=dt)(ub)
         out = out.reshape(B, maxb, bs, bs, bs, self.out_ch)
+        out = out.astype(x.dtype)
         return _mask_slots(out, bset.valid)
 
 
 class BlockConvGRU3D(nn.Module):
-    """ConvGRU on active blocks (gating math of modulars/conv_gru3d.py)."""
+    """ConvGRU on active blocks (gating math of modulars/conv_gru3d.py).
+
+    Gate convs run in ``dtype``; the state update itself stays in the input
+    dtype (float32 hidden state across fragments)."""
 
     hidden_dim: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x, bset: BlockSet):
         hx = jnp.concatenate([h, x], axis=-1)
-        zr = BlockConv3D(2 * self.hidden_dim, use_bias=True,
+        zr = BlockConv3D(2 * self.hidden_dim, use_bias=True, dtype=self.dtype,
                          name="convzr")(hx, bset)
+        zr = zr.astype(h.dtype)
         z = nn.sigmoid(zr[..., :self.hidden_dim])
         r = nn.sigmoid(zr[..., self.hidden_dim:])
         rhx = jnp.concatenate([r * h, x], axis=-1)
         q = nn.tanh(BlockConv3D(self.hidden_dim, use_bias=True,
-                                name="convq")(rhx, bset))
+                                dtype=self.dtype,
+                                name="convq")(rhx, bset).astype(h.dtype))
         out = (1.0 - z) * h + z * q
         return _mask_slots(out, bset.valid)

@@ -209,6 +209,99 @@ def blocks_to_dense_over(blocks: jnp.ndarray, bset: BlockSet,
     return _from_blocked(blocked, nb)
 
 
+def _decode_ids(ids: jnp.ndarray, nb: int):
+    """Linear block ids -> (bx, by, bz) on the (nb)³ grid."""
+    return ids // (nb * nb), (ids // nb) % nb, ids % nb
+
+
+def child_block_mask(occ_blocks: jnp.ndarray, parent_bset: BlockSet) -> jnp.ndarray:
+    """Child-level active-block mask from the parent's block-domain occupancy.
+
+    The next pyramid level (2x resolution, same block side bs) has nb_c = 2*nb
+    blocks per side; child block (2px+ox, 2py+oy, 2pz+oz) is active iff the
+    (ox,oy,oz) octant of parent block (px,py,pz) contains any occupied voxel.
+    Replaces ``block_mask_from_voxels`` on a dense mask so consecutive block
+    levels never materialize dense volumes (the block-domain analogue of the
+    reference's upsample-the-sparse-set step, neucon_network.py:180-207).
+
+    Args:
+        occ_blocks: (B, MAXB, bs, bs, bs) bool parent occupancy per block.
+        parent_bset: the parent level's BlockSet.
+
+    Returns:
+        (B, nb_c, nb_c, nb_c) bool child block mask.
+    """
+    B, maxb, bs = occ_blocks.shape[0], occ_blocks.shape[1], occ_blocks.shape[2]
+    nb = parent_bset.nb
+    nb_c = nb * 2
+    h = bs // 2
+    octs = occ_blocks.reshape(B, maxb, 2, h, 2, h, 2, h).any(axis=(3, 5, 7))
+    octs = octs.reshape(B, maxb, 8)  # (ox*4 + oy*2 + oz)
+
+    px, py, pz = _decode_ids(parent_bset.ids, nb)
+    r = jnp.arange(2)
+    ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
+    ox, oy, oz = ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)  # (8,)
+    cx = px[..., None] * 2 + ox
+    cy = py[..., None] * 2 + oy
+    cz = pz[..., None] * 2 + oz
+    cid = (cx * nb_c + cy) * nb_c + cz  # (B, MAXB, 8)
+
+    def one(ids, bits, valid):
+        safe = jnp.where(valid[:, None], ids, nb_c ** 3).reshape(-1)
+        m = jnp.zeros((nb_c ** 3 + 1,), bool)
+        return m.at[safe].max(bits.reshape(-1))[:-1]
+
+    mask = jax.vmap(one)(cid, octs, parent_bset.valid)
+    return mask.reshape(B, nb_c, nb_c, nb_c)
+
+
+def gather_parent_octants(parent_blocks: jnp.ndarray, parent_bset: BlockSet,
+                          child_bset: BlockSet,
+                          fill: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+    """Per-child-block parent context, read directly from parent block slots.
+
+    For each active child block, returns the (bs/2)³ parent-volume region it
+    refines — one MAXB_c-row gather from the parent's octant-sliced block
+    array instead of a blocks_to_dense/dense_to_blocks roundtrip through the
+    full dim³ volume (the inter-level hop of the coarse-to-fine pyramid,
+    neucon_network.py:180-207).
+
+    Args:
+        parent_blocks: (B, MAXB_p, bs, bs, bs, C).
+        parent_bset: parent BlockSet (grid nb).
+        child_bset: child BlockSet (grid 2*nb, same bs).
+        fill: scalar or (C,) vector for regions whose parent block is
+            inactive (e.g. tsdf channels fill with 1.0 = empty space).
+
+    Returns:
+        (B, MAXB_c, bs/2, bs/2, bs/2, C).
+    """
+    B, maxb_p, bs = (parent_blocks.shape[0], parent_blocks.shape[1],
+                     parent_blocks.shape[2])
+    C = parent_blocks.shape[-1]
+    nb = parent_bset.nb
+    h = bs // 2
+
+    # octant-sliced parent: (B, MAXB_p*8, h, h, h, C), octant = ox*4+oy*2+oz
+    octs = parent_blocks.reshape(B, maxb_p, 2, h, 2, h, 2, h, C)
+    octs = octs.transpose(0, 1, 2, 4, 6, 3, 5, 7, 8)
+    octs = octs.reshape(B, maxb_p * 8, h, h, h, C)
+
+    fill_row = jnp.broadcast_to(
+        jnp.asarray(fill, parent_blocks.dtype), (B, 1, h, h, h, C))
+    table = jnp.concatenate([octs, fill_row], axis=1)
+
+    cx, cy, cz = _decode_ids(child_bset.ids, nb * 2)
+    pid = ((cx // 2) * nb + (cy // 2)) * nb + (cz // 2)
+    pslot = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(
+        parent_bset.slot_of, pid)  # (B, MAXB_c), -1 if parent inactive
+    olin = (cx % 2) * 4 + (cy % 2) * 2 + (cz % 2)
+    row = pslot * 8 + olin
+    row = jnp.where((pslot >= 0) & child_bset.valid, row, maxb_p * 8)
+    return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(table, row)
+
+
 def block_voxel_indices(bset: BlockSet) -> jnp.ndarray:
     """Linear voxel indices of every voxel in the active blocks.
 
