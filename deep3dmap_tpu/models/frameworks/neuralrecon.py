@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from functools import partial
 
 from ...ops.back_project import (back_project_batch, back_project_masked_batch,
-                                 back_project_sparse, _voxel_world_from_flat)
+                                 back_project_sparse_batch,
+                                 _voxel_world_from_flat)
 from ...ops.block_sparse import (block_mask_from_voxels, block_voxel_indices,
                                  blocks_to_dense, blocks_to_dense_over,
                                  child_block_mask, dense_to_blocks,
@@ -184,10 +185,12 @@ class NeuralReconNet(nn.Module):
                 vidx = block_voxel_indices(bset)          # (B, MAXB*bs³)
                 slot_valid = jnp.repeat(bset.valid, bs ** 3, axis=1)
 
-                bp = jax.vmap(partial(
-                    back_project_sparse, dim=dim, voxel_size=self.voxel_size,
-                    interval=interval, gather_dtype=gdt))
-                f, cnt = bp(feats, proj, vol_origin_partial, vidx, slot_valid)
+                # explicit-batch core: vmapping the per-sample op would turn
+                # the hot gather into XLA's slow batched-gather path
+                f, cnt = back_project_sparse_batch(
+                    feats, proj, vol_origin_partial, vidx, slot_valid,
+                    dim=dim, voxel_size=self.voxel_size, interval=interval,
+                    gather_dtype=gdt)
                 Cb = f.shape[-1]
                 volume_b = f.reshape(B, maxb, bs, bs, bs, Cb)
                 cnt_b = cnt.reshape(B, maxb, bs, bs, bs)
