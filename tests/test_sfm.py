@@ -1,0 +1,243 @@
+"""SfM/pose layer tests: SE(3) maps, triangulation, two-view geometry,
+Schur-complement BA (single + sharded), pose-graph optimization, features."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep3dmap_tpu.core import sfm
+from deep3dmap_tpu.core.sfm.ba import BAProblem
+from deep3dmap_tpu.core.sfm.pose_graph import PoseGraph
+from deep3dmap_tpu.parallel.mesh import make_mesh
+
+
+def _rand_rot(rng, n=None, scale=1.0):
+    w = rng.randn(*(() if n is None else (n,)), 3) * scale
+    return np.asarray(sfm.so3_exp(jnp.asarray(w)))
+
+
+class TestSE3:
+    def test_so3_roundtrip(self, rng):
+        w = rng.randn(16, 3)
+        w = w / np.linalg.norm(w, axis=-1, keepdims=True) * \
+            rng.uniform(0.01, 3.0, (16, 1))   # |w| < pi: log's principal branch
+        R = sfm.so3_exp(jnp.asarray(w))
+        np.testing.assert_allclose(sfm.so3_log(R), w, atol=1e-4)
+
+    def test_so3_small_angle(self):
+        w = jnp.asarray([[1e-9, 0, 0], [0.0, 0.0, 0.0]])
+        R = sfm.so3_exp(w)
+        np.testing.assert_allclose(R[1], np.eye(3), atol=1e-7)
+        assert np.all(np.isfinite(np.asarray(sfm.so3_log(R))))
+
+    def test_se3_roundtrip(self, rng):
+        xi = jnp.asarray(rng.randn(8, 6))
+        R, t = sfm.se3_exp(xi)
+        np.testing.assert_allclose(sfm.se3_log(R, t), xi, atol=1e-4)
+
+    def test_compose_inverse(self, rng):
+        xi = jnp.asarray(rng.randn(6))
+        R, t = sfm.se3_exp(xi)
+        Ri, ti = sfm.se3_inverse(R, t)
+        Rc, tc = sfm.se3_compose(R, t, Ri, ti)
+        np.testing.assert_allclose(Rc, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(tc, 0.0, atol=1e-6)
+
+
+def _synthetic_scene(rng, n_cams=6, n_pts=64, noise=0.0):
+    """Cameras in a ring looking at points near the origin."""
+    X = rng.randn(n_pts, 3).astype(np.float64) * 0.6
+    K = np.tile(np.array([320.0, 320.0, 160.0, 120.0]), (n_cams, 1))
+    Rs, ts = [], []
+    for i in range(n_cams):
+        ang = 0.4 * i / max(n_cams - 1, 1)
+        R = np.asarray(sfm.so3_exp(jnp.asarray([0.0, ang, 0.0])))
+        c = np.array([2.5 * np.sin(ang), 0.1 * i, -2.5 * np.cos(ang)])
+        Rs.append(R)
+        ts.append(-R @ c)
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    cam_idx = np.repeat(np.arange(n_cams), n_pts)
+    pt_idx = np.tile(np.arange(n_pts), n_cams)
+    uv, z = sfm.project(jnp.asarray(K)[cam_idx], jnp.asarray(Rs)[cam_idx],
+                        jnp.asarray(ts)[cam_idx], jnp.asarray(X)[pt_idx])
+    uv = np.asarray(uv) + noise * rng.randn(*uv.shape)
+    assert np.all(np.asarray(z) > 0.3)
+    w = np.ones(len(cam_idx))
+    return (jnp.asarray(K), jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(X),
+            BAProblem(K=jnp.asarray(K), cam_idx=jnp.asarray(cam_idx),
+                      pt_idx=jnp.asarray(pt_idx), uv=jnp.asarray(uv),
+                      w=jnp.asarray(w),
+                      cam_fixed=jnp.asarray(np.arange(n_cams) < 2)))
+
+
+class TestTriangulate:
+    def test_multiview_exact(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng)
+        n_pts = X.shape[0]
+        n_cams = Rs.shape[0]
+        uv = prob.uv.reshape(n_cams, n_pts, 2).transpose(1, 0, 2)
+        Kv = jnp.tile(K[None, :, :], (n_pts, 1, 1))
+        Rv = jnp.tile(Rs[None], (n_pts, 1, 1, 1))
+        tv = jnp.tile(ts[None], (n_pts, 1, 1))
+        Xh = sfm.triangulate(Kv, Rv, tv, uv, jnp.ones((n_pts, n_cams)))
+        np.testing.assert_allclose(Xh, X, atol=1e-4)
+
+    def test_two_view_and_essential(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng, n_cams=2, n_pts=128)
+        uv1 = prob.uv[:128]
+        uv2 = prob.uv[128:]
+        x1 = sfm.normalize_points(uv1, K[0])
+        x2 = sfm.normalize_points(uv2, K[1])
+        E = sfm.essential_eight_point(x1, x2)
+        # epipolar constraint
+        ones = jnp.ones((128, 1))
+        h1 = jnp.concatenate([x1, ones], -1)
+        h2 = jnp.concatenate([x2, ones], -1)
+        resid = jnp.einsum("ni,ij,nj->n", h2, E, h1)
+        assert float(jnp.max(jnp.abs(resid))) < 1e-5
+        R, t = sfm.recover_pose(E, x1, x2)
+        R_gt, t_gt = sfm.relative_pose(Rs[0], ts[0], Rs[1], ts[1])
+        t_gt = t_gt / jnp.linalg.norm(t_gt)
+        np.testing.assert_allclose(R, R_gt, atol=1e-4)
+        np.testing.assert_allclose(jnp.abs(jnp.dot(t, t_gt)), 1.0, atol=1e-4)
+
+
+class TestBA:
+    def test_converges_from_perturbed(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng)
+        # perturb non-fixed cameras and all points
+        dxi = jnp.asarray(rng.randn(Rs.shape[0], 6) * 0.02)
+        dxi = dxi.at[:2].set(0.0)
+        R0, t0 = sfm.se3_retract(Rs, ts, dxi)
+        X0 = X + jnp.asarray(rng.randn(*X.shape) * 0.05)
+        res = jax.jit(lambda R, t, Xp: sfm.lm_solve(R, t, Xp, prob, iters=25))(
+            R0, t0, X0)
+        assert float(res.initial_cost) > 1.0
+        assert float(res.cost) < 1e-6 * float(res.initial_cost)
+        # fixed cameras untouched
+        np.testing.assert_allclose(res.R[:2], Rs[:2], atol=1e-12)
+
+    def test_huber_downweights_outliers(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng, noise=0.1)
+        uv = np.array(prob.uv)
+        uv[::37] += 80.0   # gross outliers
+        prob = prob._replace(uv=jnp.asarray(uv))
+        X0 = X + jnp.asarray(rng.randn(*X.shape) * 0.05)
+        res_h = sfm.lm_solve(Rs, ts, X0, prob, iters=20, huber=2.0)
+        err = jnp.linalg.norm(res_h.X - X, axis=-1)
+        assert float(jnp.median(err)) < 0.01
+
+    def test_sharded_matches_single(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng, n_cams=4, n_pts=32)
+        # pad observations to a multiple of 8 with zero-weight slots
+        M = prob.uv.shape[0]
+        pad = (-M) % 8
+        probp = BAProblem(
+            K=prob.K,
+            cam_idx=jnp.pad(prob.cam_idx, (0, pad)),
+            pt_idx=jnp.pad(prob.pt_idx, (0, pad)),
+            uv=jnp.pad(prob.uv, ((0, pad), (0, 0))),
+            w=jnp.pad(prob.w, (0, pad)),
+            cam_fixed=prob.cam_fixed)
+        dxi = jnp.asarray(rng.randn(4, 6) * 0.02).at[:2].set(0.0)
+        R0, t0 = sfm.se3_retract(Rs, ts, dxi)
+        X0 = X + jnp.asarray(rng.randn(*X.shape) * 0.04)
+        res1 = sfm.lm_solve(R0, t0, X0, probp, iters=10)
+        mesh = make_mesh(("data",))
+        res8 = sfm.lm_solve_sharded(mesh, R0, t0, X0, probp, iters=10)
+        np.testing.assert_allclose(res8.cost, res1.cost, rtol=0.25, atol=1e-8)  # both at f32 convergence floor
+        np.testing.assert_allclose(res8.X, res1.X, atol=1e-4)
+
+
+class TestPoseGraph:
+    def test_loop_closure(self, rng):
+        # ground-truth ring of 12 poses
+        N = 12
+        Rg = jnp.asarray(_rand_rot(rng, N, scale=0.3))
+        tg = jnp.asarray(rng.randn(N, 3))
+        # odometry edges with noise + one exact loop closure 0->N-1
+        edges_i, edges_j, Rz, tz = [], [], [], []
+        for a in range(N - 1):
+            Rr, tr = sfm.se3_compose(*sfm.se3_inverse(Rg[a], tg[a]),
+                                     Rg[a + 1], tg[a + 1])
+            xi = sfm.se3_log(Rr, tr) + jnp.asarray(rng.randn(6) * 0.03)
+            Rn, tn = sfm.se3_exp(xi)
+            edges_i.append(a), edges_j.append(a + 1), Rz.append(Rn), tz.append(tn)
+        Rr, tr = sfm.se3_compose(*sfm.se3_inverse(Rg[0], tg[0]), Rg[N - 1], tg[N - 1])
+        edges_i.append(0), edges_j.append(N - 1), Rz.append(Rr), tz.append(tr)
+        g = PoseGraph(i=jnp.asarray(edges_i), j=jnp.asarray(edges_j),
+                      Rz=jnp.stack(Rz), tz=jnp.stack(tz),
+                      w=jnp.ones(len(edges_i)))
+        # integrate noisy odometry as the initial guess
+        R0, t0 = sfm.compose_chain(jnp.stack(Rz[:N - 1]), jnp.stack(tz[:N - 1]))
+        # re-anchor chain at the true first pose
+        R0 = jnp.einsum("ij,njk->nik", Rg[0], R0)
+        t0 = jnp.einsum("ij,nj->ni", Rg[0], t0) + tg[0]
+        R, t, cost, c0 = jax.jit(
+            lambda R_, t_: sfm.optimize(R_, t_, g, iters=20))(R0, t0)
+        assert float(cost) < 0.5 * float(c0)
+
+    def test_exact_measurements_zero_cost(self, rng):
+        N = 5
+        Rg = jnp.asarray(_rand_rot(rng, N, scale=0.2))
+        tg = jnp.asarray(rng.randn(N, 3))
+        i = jnp.arange(N - 1)
+        Rz, tz = jax.vmap(
+            lambda a, b, c, d: sfm.se3_compose(*sfm.se3_inverse(a, b), c, d)
+        )(Rg[:-1], tg[:-1], Rg[1:], tg[1:])
+        g = PoseGraph(i=i, j=i + 1, Rz=Rz, tz=tz, w=jnp.ones(N - 1))
+        assert float(sfm.graph_cost(Rg, tg, g)) < 1e-10
+
+
+class TestFeatures:
+    def test_match_shifted_checkerboard(self, rng):
+        # textured image: random blobs, smoothed
+        img = rng.rand(96, 128).astype(np.float32)
+        img = np.asarray(jax.lax.reduce_window(
+            jnp.asarray(img), 0.0, jax.lax.add, (5, 5), (1, 1), "SAME")) / 25.0
+        shift = 6
+        img2 = np.roll(img, shift, axis=1)
+        kp1, kp2, m = sfm.match_images(jnp.asarray(img), jnp.asarray(img2),
+                                       k=128)
+        sel = np.asarray(m.valid)
+        assert sel.sum() >= 10
+        dx = np.asarray(kp2.xy)[np.asarray(m.idx2)[sel], 0] - \
+            np.asarray(kp1.xy)[sel, 0]
+        # majority of valid matches recover the shift (mod wraparound)
+        frac = np.mean(np.abs(((dx - shift) + 64) % 128 - 64) <= 1)
+        assert frac > 0.7
+
+    def test_detect_static_shapes(self, rng):
+        img = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+        kp = jax.jit(lambda x: sfm.detect_keypoints(x, k=64))(img)
+        assert kp.xy.shape == (64, 2)
+        d = jax.jit(lambda x, kps: sfm.extract_descriptors(x, kps))(img, kp)
+        assert d.shape == (64, 64)
+        n = jnp.linalg.norm(d, axis=-1)
+        np.testing.assert_allclose(np.asarray(n)[np.asarray(kp.valid)], 1.0,
+                                   atol=1e-4)
+
+
+class TestRansac:
+    def test_essential_ransac_rejects_outliers(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng, n_cams=2, n_pts=200)
+        uv1 = np.array(prob.uv[:200])
+        uv2 = np.array(prob.uv[200:])
+        # corrupt 30% of correspondences
+        bad = rng.rand(200) < 0.3
+        uv2[bad] += rng.randn(bad.sum(), 2) * 40 + 20
+        x1 = sfm.normalize_points(jnp.asarray(uv1), K[0])
+        x2 = sfm.normalize_points(jnp.asarray(uv2), K[1])
+        E, inl = sfm.essential_ransac(x1, x2, jax.random.PRNGKey(0),
+                                      thresh=1e-4)
+        inl = np.asarray(inl)
+        # all clean correspondences kept, all gross outliers rejected
+        assert inl[~bad].mean() > 0.95
+        # a few corrupted pairs land near an epipolar line by chance and
+        # are geometrically indistinguishable from inliers — allow those
+        assert inl[bad].mean() < 0.15
+        R, t = sfm.recover_pose(E, x1[inl], x2[inl])
+        R_gt, t_gt = sfm.relative_pose(Rs[0], ts[0], Rs[1], ts[1])
+        rot_err_deg = np.degrees(np.linalg.norm(
+            np.asarray(sfm.so3_log(R @ R_gt.T))))
+        assert rot_err_deg < 1.0  # chance epipolar-line outliers add noise
