@@ -58,6 +58,7 @@ class _GN(nn.Module):
         groups = min(8, x.shape[-1])
         while x.shape[-1] % groups != 0:
             groups -= 1
+        # norm statistics always in float32 (params are f32, flax promotes)
         return nn.GroupNorm(num_groups=groups)(x)
 
 
@@ -70,6 +71,7 @@ class MBConv(nn.Module):
     expand: int = 3
     norm: str = "gn"
     torch_pad: bool = False
+    dtype: object = None      # conv compute dtype (e.g. bfloat16); params f32
 
     @nn.compact
     def __call__(self, x):
@@ -80,13 +82,13 @@ class MBConv(nn.Module):
         def _norm(h):
             return h if self.norm == "none" else _GN()(h)
 
-        h = nn.Conv(mid, (1, 1), use_bias=bias)(x)
+        h = nn.Conv(mid, (1, 1), use_bias=bias, dtype=self.dtype)(x)
         h = nn.relu(_norm(h))
         h = nn.Conv(mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
                     padding=_pad(self.kernel, self.torch_pad),
-                    feature_group_count=mid, use_bias=bias)(h)
+                    feature_group_count=mid, use_bias=bias, dtype=self.dtype)(h)
         h = nn.relu(_norm(h))
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=bias)(h)
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=bias, dtype=self.dtype)(h)
         h = _norm(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x
@@ -101,14 +103,15 @@ class _Stack(nn.Module):
     repeats: int
     norm: str = "gn"
     torch_pad: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         x = MBConv(self.out_ch, self.kernel, self.stride, self.expand,
-                   self.norm, self.torch_pad)(x)
+                   self.norm, self.torch_pad, self.dtype)(x)
         for _ in range(self.repeats - 1):
             x = MBConv(self.out_ch, self.kernel, 1, self.expand,
-                       self.norm, self.torch_pad)(x)
+                       self.norm, self.torch_pad, self.dtype)(x)
         return x
 
 
@@ -120,39 +123,45 @@ class MnasFPN(nn.Module):
     alpha: float = 1.0
     norm: str = "gn"          # "gn" | "none" (bias convs, for torch import)
     torch_pad: bool = False   # symmetric k//2 padding on strided convs
+    dtype: object = None      # conv compute dtype ("bfloat16" ~ 2x on MXU);
+                              # norms and outputs stay float32
 
     @nn.compact
     def __call__(self, x):
         d = _depths(self.alpha)
         bias = self.norm == "none"
+        dt = self.dtype
 
         def _norm(h):
             return h if self.norm == "none" else _GN()(h)
 
         # stem: conv s2 + depthwise + project (mnasnet layers 0-7)
         h = nn.Conv(d[0], (3, 3), strides=(2, 2), use_bias=bias,
-                    padding=_pad(3, self.torch_pad))(x)
+                    padding=_pad(3, self.torch_pad), dtype=dt)(x)
         h = nn.relu(_norm(h))
-        h = nn.Conv(d[0], (3, 3), feature_group_count=d[0], use_bias=bias)(h)
+        h = nn.Conv(d[0], (3, 3), feature_group_count=d[0], use_bias=bias,
+                    dtype=dt)(h)
         h = nn.relu(_norm(h))
-        h = nn.Conv(d[1], (1, 1), use_bias=bias)(h)
+        h = nn.Conv(d[1], (1, 1), use_bias=bias, dtype=dt)(h)
         h = _norm(h)
         # stage blocks (mnasnet layers 8,9,10)
-        conv0 = _Stack(d[2], 3, 2, 3, 3, self.norm, self.torch_pad)(h)      # 1/4,  24ch
-        conv1 = _Stack(d[3], 5, 2, 3, 3, self.norm, self.torch_pad)(conv0)  # 1/8,  40ch
-        conv2 = _Stack(d[4], 5, 2, 6, 3, self.norm, self.torch_pad)(conv1)  # 1/16, 80ch
+        conv0 = _Stack(d[2], 3, 2, 3, 3, self.norm, self.torch_pad, dt)(h)      # 1/4,  24ch
+        conv1 = _Stack(d[3], 5, 2, 3, 3, self.norm, self.torch_pad, dt)(conv0)  # 1/8,  40ch
+        conv2 = _Stack(d[4], 5, 2, 6, 3, self.norm, self.torch_pad, dt)(conv1)  # 1/16, 80ch
 
         # top-down FPN
         final = d[4]
-        intra = nn.Conv(final, (1, 1), use_bias=False)(conv2)
+        intra = nn.Conv(final, (1, 1), use_bias=False, dtype=dt)(conv2)
         out_coarse = intra
 
         up = jnp.repeat(jnp.repeat(intra, 2, axis=1), 2, axis=2)
-        intra = up + nn.Conv(final, (1, 1))(conv1)
-        out_mid = nn.Conv(d[3], (3, 3), use_bias=False)(intra)
+        intra = up + nn.Conv(final, (1, 1), dtype=dt)(conv1)
+        out_mid = nn.Conv(d[3], (3, 3), use_bias=False, dtype=dt)(intra)
 
         up = jnp.repeat(jnp.repeat(intra, 2, axis=1), 2, axis=2)
-        intra = up + nn.Conv(final, (1, 1))(conv0)
-        out_fine = nn.Conv(d[2], (3, 3), use_bias=False)(intra)
+        intra = up + nn.Conv(final, (1, 1), dtype=dt)(conv0)
+        out_fine = nn.Conv(d[2], (3, 3), use_bias=False, dtype=dt)(intra)
 
-        return [out_fine, out_mid, out_coarse]
+        f32 = jnp.float32
+        return [out_fine.astype(f32), out_mid.astype(f32),
+                out_coarse.astype(f32)]

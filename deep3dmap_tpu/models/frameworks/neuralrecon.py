@@ -75,11 +75,13 @@ class _FPNStep(nn.Module):
     alpha: float
     norm: str = "gn"
     torch_pad: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, carry, x):
         return carry, tuple(MnasFPN(alpha=self.alpha, norm=self.norm,
-                                    torch_pad=self.torch_pad, name="fpn")(x))
+                                    torch_pad=self.torch_pad,
+                                    dtype=self.dtype, name="fpn")(x))
 
 
 class NeuralReconNet(nn.Module):
@@ -92,6 +94,7 @@ class NeuralReconNet(nn.Module):
     backbone_norm: str = "gn"       # "none" = torch-import mode (fpn2d.py)
     backbone_torch_pad: bool = False
     backbone_freeze: bool = False   # stop-gradient the 2D trunk (import mode)
+    backbone_dtype: Optional[str] = None   # conv compute dtype for the trunk
     fusion_on: bool = True
     add_coord_feats: bool = True
     out_channels: Sequence[int] = (96, 48, 24)
@@ -138,8 +141,9 @@ class NeuralReconNet(nn.Module):
         ScanFPN = nn.scan(nn.remat(_FPNStep), variable_broadcast="params",
                           split_rngs={"params": False}, in_axes=0, out_axes=0)
         imgs_v = jnp.moveaxis(imgs, 1, 0)  # (V, B, H, W, 3)
+        bb_dt = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
         _, pyramid = ScanFPN(alpha=self.alpha, norm=self.backbone_norm,
-                             torch_pad=self.backbone_torch_pad,
+                             torch_pad=self.backbone_torch_pad, dtype=bb_dt,
                              name="backbone2d")(None, imgs_v)
         # pyramid[s]: (V, B, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
         pyramid = [jnp.moveaxis(f, 0, 1) for f in pyramid]
@@ -367,6 +371,7 @@ class NeuralRecon(BaseFramework):
         # BACKBONE2D.CKPT both point at the npz; CKPT wins if both are set.
         self.backbone_ckpt = bb2d.get("CKPT", pretrained)
         self.backbone_freeze = bool(bb2d.get("FREEZE", False))
+        self.backbone_dtype = bb2d.get("DTYPE")
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
         # active-voxel capacity at level i = 8x the previous level's
         # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
@@ -398,6 +403,7 @@ class NeuralRecon(BaseFramework):
             alpha=alpha, backbone_norm=self.backbone_norm,
             backbone_torch_pad=self.backbone_torch_pad,
             backbone_freeze=self.backbone_freeze,
+            backbone_dtype=self.backbone_dtype,
             fusion_on=self.fusion_on, out_channels=self.out_channels,
             thresholds=self.thresholds, num_sample=self.num_sample,
             sparse_mode=self.sparse_mode, block_size=self.block_size,
