@@ -205,6 +205,22 @@ def _bdiag(A):
     return jnp.mean(d, axis=-1, keepdims=True)[..., None]
 
 
+def robust_cost(r: jnp.ndarray, huber: Optional[float]) -> jnp.ndarray:
+    """True objective value for (optionally Huber-robustified) residuals.
+
+    ``r`` is the [M, 2] w-weighted residual array.  With ``huber`` set this
+    is the genuine Huber loss over residual norms — NOT the IRLS-reweighted
+    squared cost.  LM accept/reject must compare this objective; comparing
+    the raw squared cost while the step minimizes the Huber-IRLS objective
+    rejects every step once gross outliers dominate the quadratic term.
+    """
+    if huber is None:
+        return 0.5 * jnp.sum(r * r)
+    rn = jnp.linalg.norm(r, axis=-1)
+    return jnp.sum(jnp.where(rn <= huber, 0.5 * rn * rn,
+                             huber * (rn - 0.5 * huber)))
+
+
 class BAResult(NamedTuple):
     R: jnp.ndarray
     t: jnp.ndarray
@@ -233,7 +249,7 @@ def lm_solve(R0, t0, X0, prob: BAProblem, iters: int = 20, lam0: float = 1e-3,
         if cost_fn is not None:
             return cost_fn(R, t, X)
         r = reprojection_residuals(R, t, X, prob)
-        return 0.5 * jnp.sum(r * r)
+        return robust_cost(r, huber)
 
     def body(state):
         R, t, X, lam, cost, it = state
@@ -287,7 +303,7 @@ def lm_solve_sharded(mesh, R0, t0, X0, prob: BAProblem, axis: str = "data",
     def run(R0_, t0_, X0_, prob_shard):
         def psum_cost(R, t, X):
             r = reprojection_residuals(R, t, X, prob_shard)
-            return jax.lax.psum(0.5 * jnp.sum(r * r), axis)
+            return jax.lax.psum(robust_cost(r, huber), axis)
 
         return lm_solve(R0_, t0_, X0_, prob_shard, iters=iters, lam0=lam0,
                         huber=huber, blocks_fn=psum_blocks, cost_fn=psum_cost)

@@ -128,7 +128,13 @@ def essential_ransac(x1, x2, key, w=None, n_hypotheses: int = 256,
     N = x1.shape[0]
     if w is None:
         w = jnp.ones(N, dtype=x1.dtype)
-    idx = jax.random.randint(key, (n_hypotheses, 8), 0, N)
+    # sample WITHOUT replacement per hypothesis and only from valid (w>0)
+    # slots: Gumbel-top-k over per-slot uniforms keeps every 8-point minimal
+    # set distinct and non-degenerate even when most slots are w=0 padding
+    # (randint with replacement wasted hypotheses on duplicate/invalid rows).
+    g = jax.random.uniform(key, (n_hypotheses, N), minval=1e-9, maxval=1.0)
+    logits = jnp.log(g) + jnp.where(w > 0, 0.0, -jnp.inf)
+    _, idx = jax.lax.top_k(logits, 8)
     Es = jax.vmap(lambda ii: essential_eight_point(x1[ii], x2[ii], w[ii]))(idx)
     d = jax.vmap(lambda E: sampson_distance(E, x1, x2))(Es)      # [H, N]
     inl = (d < thresh) & (w > 0)

@@ -43,6 +43,41 @@ class TestSE3:
         np.testing.assert_allclose(Rc, np.eye(3), atol=1e-6)
         np.testing.assert_allclose(tc, 0.0, atol=1e-6)
 
+    def test_se3_log_near_identity_accuracy(self):
+        # pose-graph edge residuals are near-identity twists; additive-eps
+        # theta put a relative-error floor here (ADVICE r2 #2: 2.7% at
+        # theta=3e-4 in float64).  x64 isolates the bias from f32 roundoff.
+        jax.config.update("jax_enable_x64", True)
+        try:
+            for mag in (3e-3, 3e-4, 3e-5):
+                xi = jnp.asarray(np.array([1.0, -2.0, 0.5, 0.3, -0.7, 0.9])
+                                 * mag, dtype=jnp.float64)
+                R, t = sfm.se3_exp(xi)
+                back = np.asarray(sfm.se3_log(R, t))
+                rel = np.linalg.norm(back - np.asarray(xi)) / mag
+                assert rel < 1e-9, f"mag={mag}: rel err {rel}"
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_so3_log_near_pi(self, rng):
+        # vee(R - R^T) vanishes at theta=pi; the axis branch must take over
+        for frac in (0.999, 0.9999, 1.0):
+            axis = rng.randn(3)
+            axis /= np.linalg.norm(axis)
+            w = jnp.asarray(axis * np.pi * frac)
+            R = sfm.so3_exp(w)
+            back = np.asarray(sfm.so3_log(R))
+            # at exactly pi, +/-w are both valid logs
+            err = min(np.linalg.norm(back - np.asarray(w)),
+                      np.linalg.norm(back + np.asarray(w)))
+            assert err < 5e-3, f"frac={frac}: err {err}"
+
+    def test_so3_log_jacobian_finite_near_identity(self):
+        w = jnp.zeros(3)
+        J = jax.jacfwd(lambda x: sfm.so3_log(sfm.so3_exp(x)))(w)
+        assert np.all(np.isfinite(np.asarray(J)))
+        np.testing.assert_allclose(J, np.eye(3), atol=1e-5)
+
 
 def _synthetic_scene(rng, n_cams=6, n_pts=64, noise=0.0):
     """Cameras in a ring looking at points near the origin."""
@@ -126,6 +161,46 @@ class TestBA:
         res_h = sfm.lm_solve(Rs, ts, X0, prob, iters=20, huber=2.0)
         err = jnp.linalg.norm(res_h.X - X, axis=-1)
         assert float(jnp.median(err)) < 0.01
+
+    def test_huber_gross_outliers_accepts_steps(self, rng):
+        # ADVICE r2 #1: accept/reject compared the raw squared cost while
+        # the step minimized the Huber-IRLS objective — with 25% outliers
+        # at ~200px every step was rejected and lambda railed at 1e6.
+        K, Rs, ts, X, prob = _synthetic_scene(rng, noise=0.2)
+        uv = np.array(prob.uv)
+        bad = rng.rand(uv.shape[0]) < 0.25
+        uv[bad] += rng.randn(bad.sum(), 2) * 200.0
+        prob = prob._replace(uv=jnp.asarray(uv))
+        X0 = X + jnp.asarray(rng.randn(*X.shape) * 0.05)
+        res = sfm.lm_solve(Rs, ts, X0, prob, iters=25, huber=2.0)
+        # steps must be accepted (pre-fix: lam railed at 1e6, cost == c0);
+        # the Huber cost floor is the outliers' irreducible linear term, so
+        # convergence shows up in the recovered structure, not a 2x cost drop
+        assert float(res.cost) < float(res.initial_cost)
+        assert float(res.lam) < 1e5
+        err = jnp.linalg.norm(res.X - X, axis=-1)
+        assert float(jnp.median(err)) < 0.02
+
+    def test_sharded_huber_matches_single(self, rng):
+        K, Rs, ts, X, prob = _synthetic_scene(rng, n_cams=4, n_pts=32)
+        uv = np.array(prob.uv)
+        uv[::11] += 150.0
+        M = uv.shape[0]
+        pad = (-M) % 8
+        probp = BAProblem(
+            K=prob.K,
+            cam_idx=jnp.pad(prob.cam_idx, (0, pad)),
+            pt_idx=jnp.pad(prob.pt_idx, (0, pad)),
+            uv=jnp.pad(jnp.asarray(uv), ((0, pad), (0, 0))),
+            w=jnp.pad(prob.w, (0, pad)),
+            cam_fixed=prob.cam_fixed)
+        X0 = X + jnp.asarray(rng.randn(*X.shape) * 0.04)
+        res1 = sfm.lm_solve(Rs, ts, X0, probp, iters=10, huber=2.0)
+        mesh = make_mesh(("data",))
+        res8 = sfm.lm_solve_sharded(mesh, Rs, ts, X0, probp, iters=10,
+                                    huber=2.0)
+        assert float(res1.cost) < float(res1.initial_cost)
+        np.testing.assert_allclose(res8.cost, res1.cost, rtol=0.25, atol=1e-8)
 
     def test_sharded_matches_single(self, rng):
         K, Rs, ts, X, prob = _synthetic_scene(rng, n_cams=4, n_pts=32)
@@ -241,3 +316,21 @@ class TestRansac:
         rot_err_deg = np.degrees(np.linalg.norm(
             np.asarray(sfm.so3_log(R @ R_gt.T))))
         assert rot_err_deg < 1.0  # chance epipolar-line outliers add noise
+
+    def test_essential_ransac_mostly_padded(self, rng):
+        # ADVICE r2 #4: with-replacement sampling could fill minimal sets
+        # with w=0 padding slots; 75% padding must not kill the estimate
+        K, Rs, ts, X, prob = _synthetic_scene(rng, n_cams=2, n_pts=64)
+        uv1 = np.array(prob.uv[:64])
+        uv2 = np.array(prob.uv[64:])
+        x1 = sfm.normalize_points(jnp.asarray(uv1), K[0])
+        x2 = sfm.normalize_points(jnp.asarray(uv2), K[1])
+        pad = 192
+        x1p = jnp.pad(x1, ((0, pad), (0, 0)))
+        x2p = jnp.pad(x2, ((0, pad), (0, 0)))
+        w = jnp.pad(jnp.ones(64), (0, pad))
+        E, inl = sfm.essential_ransac(x1p, x2p, jax.random.PRNGKey(3), w=w,
+                                      n_hypotheses=64, thresh=1e-4)
+        inl = np.asarray(inl)
+        assert inl[:64].mean() > 0.95
+        assert not inl[64:].any()
