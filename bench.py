@@ -1,11 +1,17 @@
 """Benchmark: NeuralRecon fragment reconstruction throughput on TPU.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+... training + MFU report fields ...}.
 
 Baseline: upstream NeuralRecon paper reports ~33 keyframes/s on an RTX 2080 Ti
 (BASELINE.md; the reference repo publishes no numbers of its own, and its demo
 harness computes keyframes/s the same way — /root/reference/demos/
 demo_neucon.py:108-115).  vs_baseline = our keyframes/s / 33.
+
+Beyond the inference headline, this reports the BASELINE.md "north star"
+surface: chip-measured *training* keyframes/s (jitted value_and_grad + optax
+step at production shape) and MFU (XLA cost-analysis FLOPs / step-time /
+chip bf16 peak) for both the train and inference steps.
 """
 import json
 import os
@@ -18,10 +24,81 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 BASELINE_KEYFRAMES_PER_S = 33.0
 
+# per-chip bf16 peak FLOP/s by device kind (substring match).  MXU matmuls
+# run bf16 here, so the bf16 peak is the speed-of-light reference.
+_PEAK_BF16 = [
+    ("v6e", 918e12), ("v6 lite", 918e12),
+    ("v5p", 459e12), ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+]
+
+
+def _chip_peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    if "tpu" not in kind:
+        return 0.0
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return 0.0
+
+
+# per-chip HBM bandwidth by device kind — the binding resource for this
+# gather-heavy workload (back-projection + block gathers), so BW utilization
+# is the meaningful speed-of-light figure alongside MFU.
+_PEAK_HBM_BPS = [
+    ("v6e", 1640e9), ("v6 lite", 1640e9),
+    ("v5p", 2765e9), ("v5 lite", 819e9), ("v5e", 819e9),
+    ("v4", 1228e9), ("v3", 900e9), ("v2", 700e9),
+]
+
+
+def _chip_peak_bw(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    if "tpu" not in kind:
+        return 0.0
+    for key, peak in _PEAK_HBM_BPS:
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _compiled_cost(compiled):
+    """(flops, bytes_accessed) of a compiled executable from XLA's own
+    cost analysis."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return (float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _compile_and_time(fn, *args, iters):
+    """AOT-compile once; returns (sec/inner-iteration, flops/inner-iteration).
+
+    One compile serves both timing and cost analysis — compiles dominate
+    wall time over the remote-TPU tunnel, so bench does exactly one per
+    measured variant.
+    """
+    import jax
+    compiled = jax.jit(fn).lower(*args).compile()
+    flops, nbytes = _compiled_cost(compiled)
+    out = compiled(*args)              # warmup (first run allocates)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, flops / iters, nbytes / iters
+
 
 def main():
     import jax
+    import jax.numpy as jnp
     import numpy as np
+    import optax
 
     from deep3dmap_tpu.datasets.builder import _stack_samples
     from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
@@ -48,13 +125,13 @@ def main():
     batch = jax.device_put(batch)
     params, mstate = fw.init(jax.random.PRNGKey(0), batch)
 
-    # measure device throughput with fragments streamed inside one compiled
-    # scan (recurrent state carried fragment-to-fragment), so per-dispatch
+    # ---- inference: fragments streamed inside one compiled scan ----------
+    # (recurrent state carried fragment-to-fragment) so per-dispatch
     # host/tunnel RPC latency does not masquerade as model time — matching
     # how a production streaming loop runs (async dispatch, pipelined input)
     iters = 10
 
-    @jax.jit
+
     def stream(params, mstate, batch):
         def body(carry, _):
             out, new_state = fw.forward_test(params, carry, batch)
@@ -62,19 +139,63 @@ def main():
         mstate, sums = jax.lax.scan(body, mstate, None, length=iters)
         return sums.sum()
 
-    s = stream(params, mstate, batch)
-    jax.block_until_ready(s)  # compile + warmup
-    t0 = time.perf_counter()
-    s = stream(params, mstate, batch)
-    jax.block_until_ready(s)
-    dt = (time.perf_counter() - t0) / iters
+    infer_dt, infer_flops, infer_bytes = _compile_and_time(
+        stream, params, mstate, batch, iters=iters)
+    kf_per_s = n_views / infer_dt
 
-    kf_per_s = n_views / dt
+    # ---- training: jitted value_and_grad + optax step, same shapes -------
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+    rng0 = jax.random.PRNGKey(1)
+
+    def one_step(params, opt_state, mstate, rng, batch):
+        rng, sub = jax.random.split(rng)
+        (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+            params, mstate, batch, sub)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux["model_state"], rng, loss
+
+    train_iters = 5
+
+
+    def train_stream(params, opt_state, mstate, rng, batch):
+        def body(carry, _):
+            params, opt_state, mstate, rng = carry
+            params, opt_state, mstate, rng, loss = one_step(
+                params, opt_state, mstate, rng, batch)
+            return (params, opt_state, mstate, rng), loss
+        carry, losses = jax.lax.scan(
+            body, (params, opt_state, mstate, rng), None, length=train_iters)
+        return losses.sum()
+
+    train_dt, train_flops, train_bytes = _compile_and_time(
+        train_stream, params, opt_state, mstate, rng0, batch,
+        iters=train_iters)
+    train_kf_per_s = n_views / train_dt
+
+    peak = _chip_peak_flops(jax.devices()[0])
+    peak_bw = _chip_peak_bw(jax.devices()[0])
+    mfu = (train_flops / train_dt / peak) if (peak and train_flops > 0) else None
+    infer_mfu = (infer_flops / infer_dt / peak) if (peak and infer_flops > 0) else None
+    bwu = (train_bytes / train_dt / peak_bw) if (peak_bw and train_bytes > 0) else None
+    infer_bwu = (infer_bytes / infer_dt / peak_bw) if (peak_bw and infer_bytes > 0) else None
+
     print(json.dumps({
         "metric": "neuralrecon_keyframes_per_s",
         "value": round(kf_per_s, 2),
         "unit": "keyframes/s",
         "vs_baseline": round(kf_per_s / BASELINE_KEYFRAMES_PER_S, 3),
+        "train_keyframes_per_s": round(train_kf_per_s, 2),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "train_step_flops": train_flops,
+        "infer_step_flops": infer_flops,
+        "device": getattr(jax.devices()[0], "device_kind", "unknown"),
+        "chip_peak_bf16_flops": peak or None,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "infer_mfu": round(infer_mfu, 4) if infer_mfu is not None else None,
+        "hbm_bw_util": round(bwu, 4) if bwu is not None else None,
+        "infer_hbm_bw_util": round(infer_bwu, 4) if infer_bwu is not None else None,
     }))
 
 

@@ -18,12 +18,24 @@ data = dict(
               voxel_size=VOXEL_SIZE),
 )
 
+# Global recurrent hidden extent per scale, derived from scene bounds:
+# ScanNet scenes span up to ~10 m, so the hidden volumes must cover
+# ceil(extent / voxel_size) voxels at each scale — NOT one fragment window
+# (the default), which would alias every fragment beyond 3.84 m into the
+# same corner window.  10.24 m / 0.04 m = 256 fine voxels.  Memory:
+# 256³·24ch·f32 ≈ 1.6 GB/scene — shard spatially over the mesh 'model'
+# axis for multi-chip runs (parallel/spatial.shard_global_volumes).
+SCENE_EXTENT_M = 10.24
+GLOBAL_DIMS = [int(SCENE_EXTENT_M / (VOXEL_SIZE * 2 ** (2 - s)))
+               for s in range(3)]  # [64, 128, 256]
+
 model = dict(
     model_cfgs=dict(
         N_VOX=[96, 96, 96],
         VOXEL_SIZE=VOXEL_SIZE,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
         BACKBONE2D=dict(ARC="fpn-mnas-1"),
+        GLOBAL_DIMS=GLOBAL_DIMS,
     ),
 )
 

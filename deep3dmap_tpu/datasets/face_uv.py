@@ -51,9 +51,10 @@ class SyntheticFaceUVDataset:
         kpt = np.concatenate(results["kpt"], axis=0)
         n = kpt.shape[0]
         tforms = np.stack([self[i]["tform_mat"] for i in range(min(n, len(self)))])
-        # synthetic gt: landmarks from the gt uv map at the framework's indices
-        from ..models.frameworks.prnet import default_uv_kpt_ind
-        ind = default_uv_kpt_ind(self.resolution)
+        # synthetic gt: landmarks from the gt uv map at the framework's
+        # default BFM-derived indices (deterministic, matches FaceImg2UV)
+        from ..models.frameworks.prnet import uv_kpt_ind_from_bfm
+        ind = uv_kpt_ind_from_bfm(None, self.resolution)
         gts = []
         for i in range(min(n, len(self))):
             uv = self[i]["gt_uvimg"]

@@ -451,6 +451,45 @@ class NeuralRecon(BaseFramework):
             rels.append((origin - global_origin) / vs)
         return rels
 
+    def host_check_batch(self, batch):
+        """Host-side batch sanity, called by runners before device transfer.
+
+        Warns (once) when a fragment origin would clamp against the global
+        hidden extent: with GLOBAL_DIMS smaller than the scene, every
+        fragment beyond the extent silently aliases into the same corner
+        window (parity gap vs the reference's unbounded global volume,
+        gru_fusion.py:122-150).  Fix: set model_cfgs.GLOBAL_DIMS from the
+        dataset's scene bounds (see configs/neural_recon/scannet.py)."""
+        if not self.fusion_on or "vol_origin_partial" not in batch:
+            return
+        if getattr(self, "_warned_clamp", False):
+            return
+        import numpy as np
+
+        origin = np.asarray(batch["vol_origin_partial"], np.float32)
+        gorigin = np.asarray(batch.get("vol_origin", np.zeros(3)), np.float32)
+        dims = self._window_dims()
+        for i in range(self.n_layers):
+            interval = 2 ** (self.n_layers - 1 - i)
+            vs = self.voxel_size * interval
+            rel = np.round((origin - gorigin) / vs).astype(np.int64)
+            hi = self.global_dims[i] - dims[i]
+            if (rel < 0).any() or (rel > hi).any():
+                import logging
+
+                logging.getLogger("deep3dmap_tpu").warning(
+                    "NeuralRecon: fragment origin %s clamps against the "
+                    "global hidden extent at level %d (GLOBAL_DIMS[%d]=%d, "
+                    "window=%d, rel voxel origin %s outside [0, %d]). "
+                    "Fragments beyond the extent alias into the same corner "
+                    "window — set model_cfgs.GLOBAL_DIMS to cover the scene "
+                    "bounds (e.g. ceil(scene_extent_m / voxel_size) at the "
+                    "finest scale).",
+                    origin.tolist(), i, i, self.global_dims[i], dims[i],
+                    rel.tolist(), hi)
+                self._warned_clamp = True
+                return
+
     def _read_hidden(self, model_state, batch):
         if not self.fusion_on:
             return None

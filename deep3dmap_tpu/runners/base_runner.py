@@ -194,6 +194,9 @@ class BaseRunner:
         raise NotImplementedError
 
     def run_iter(self, data_batch):
+        check = getattr(self.framework, "host_check_batch", None)
+        if check is not None:
+            check(data_batch)
         batch = shard_batch(data_batch, self.mesh)
         self.state, log_vars = self.train_step_fn(self.state, batch)
         self.log_buffer.update({k: float(jax.device_get(v)) for k, v in log_vars.items()})

@@ -368,6 +368,69 @@ def import_clip(sd: Mapping[str, np.ndarray]):
 
 
 # ---------------------------------------------------------------------------
+# DINO ViT -> models/modulars/dino_vit.py
+# ---------------------------------------------------------------------------
+
+def dino_cfg_from_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, int]:
+    """Infer (patch_size, dim, depth, heads, base_grid) from a DINO ViT
+    state dict (facebookresearch/dino vision_transformer.py layout)."""
+    w = np.asarray(sd["patch_embed.proj.weight"])       # (D, 3, p, p)
+    dim, patch = int(w.shape[0]), int(w.shape[2])
+    depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    n_pos = int(np.asarray(sd["pos_embed"]).shape[1]) - 1
+    base_grid = int(round(n_pos ** 0.5))
+    heads = {384: 6, 768: 12, 192: 3, 1024: 16}[dim]    # DINO family
+    return dict(patch_size=patch, dim=dim, depth=depth, heads=heads,
+                mlp_ratio=4, base_grid=base_grid)
+
+
+def import_dino(sd: Mapping[str, np.ndarray]):
+    """DINO ViT checkpoint (dino_vits8/vits16/vitb8/vitb16) ->
+    (cfg, params) for modulars/dino_vit.DinoViT.
+
+    Key-matched via fill_like: every weight of the published checkpoints
+    loads (head weights, if present, are ignored — the extractor only uses
+    backbone facets, matching the reference dino_extractor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.modulars.dino_vit import DinoViT
+
+    sd = _strip_module(sd)
+    sd = {k: v for k, v in sd.items() if not k.startswith("head.")}
+    cfg = dino_cfg_from_state_dict(sd)
+
+    flat: Dict[str, np.ndarray] = {}
+    flat["cls_token"] = to_numpy(sd["cls_token"])
+    flat["pos_embed"] = to_numpy(sd["pos_embed"])
+    flat["patch_embed/kernel"] = conv_kernel(sd["patch_embed.proj.weight"])
+    flat["patch_embed/bias"] = to_numpy(sd["patch_embed.proj.bias"])
+    for i in range(cfg["depth"]):
+        src, dst = f"blocks.{i}", f"block{i}"
+        flat[f"{dst}/norm1/scale"] = to_numpy(sd[f"{src}.norm1.weight"])
+        flat[f"{dst}/norm1/bias"] = to_numpy(sd[f"{src}.norm1.bias"])
+        flat[f"{dst}/qkv/kernel"] = linear_kernel(sd[f"{src}.attn.qkv.weight"])
+        flat[f"{dst}/qkv/bias"] = to_numpy(sd[f"{src}.attn.qkv.bias"])
+        flat[f"{dst}/proj/kernel"] = linear_kernel(sd[f"{src}.attn.proj.weight"])
+        flat[f"{dst}/proj/bias"] = to_numpy(sd[f"{src}.attn.proj.bias"])
+        flat[f"{dst}/norm2/scale"] = to_numpy(sd[f"{src}.norm2.weight"])
+        flat[f"{dst}/norm2/bias"] = to_numpy(sd[f"{src}.norm2.bias"])
+        flat[f"{dst}/fc1/kernel"] = linear_kernel(sd[f"{src}.mlp.fc1.weight"])
+        flat[f"{dst}/fc1/bias"] = to_numpy(sd[f"{src}.mlp.fc1.bias"])
+        flat[f"{dst}/fc2/kernel"] = linear_kernel(sd[f"{src}.mlp.fc2.weight"])
+        flat[f"{dst}/fc2/bias"] = to_numpy(sd[f"{src}.mlp.fc2.bias"])
+    flat["norm/scale"] = to_numpy(sd["norm.weight"])
+    flat["norm/bias"] = to_numpy(sd["norm.bias"])
+
+    s = cfg["patch_size"] * 4  # param shapes don't depend on input size
+    tpl = jax.eval_shape(DinoViT(**cfg).init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, s, s, 3)))
+    tpl = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, x.dtype), tpl)
+    params = fill_like(tpl, {"params/" + k: x for k, x in flat.items()})
+    return cfg, params
+
+
+# ---------------------------------------------------------------------------
 # face-parsing BiSeNet -> models/parsing/bisenet_fp.py
 # ---------------------------------------------------------------------------
 

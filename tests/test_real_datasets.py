@@ -146,9 +146,15 @@ def test_300wlp_dataset(tmp_path):
     with open(tmp_path / "list.txt", "w") as f:
         f.write("\n".join(names) + "\n")
 
+    # real uv_kpt_ind.txt asset (2 rows: x texels, y texels)
+    ind = np.stack([np.linspace(2, S - 3, 68).astype(int),
+                    np.linspace(3, S - 4, 68).astype(int)])
+    np.savetxt(tmp_path / "uv_kpt_ind.txt", ind, fmt="%d")
+
     ds = build_dataset(dict(type="ThreeHundredWLPDataset",
                             datapath=str(tmp_path / "list.txt"),
-                            img_prefix=str(tmp_path), resolution=S))
+                            img_prefix=str(tmp_path), resolution=S,
+                            uv_kpt_ind_file=str(tmp_path / "uv_kpt_ind.txt")))
     assert len(ds) == 2
     item = ds[0]
     assert item["faceimg"].shape == (S, S, 3)
@@ -156,8 +162,6 @@ def test_300wlp_dataset(tmp_path):
     assert 0.0 <= item["gt_uvimg"].min() and item["gt_uvimg"].max() <= 1.0
 
     # evaluate path: perfect predictions -> NME ~ 0
-    from deep3dmap_tpu.models.frameworks.prnet import default_uv_kpt_ind
-    ind = default_uv_kpt_ind(S)
     kpts = []
     for i in range(2):
         uv = ds[i]["gt_uvimg"]
@@ -165,3 +169,10 @@ def test_300wlp_dataset(tmp_path):
         kpts.append(np.concatenate([k2, np.zeros((1, 68))], 0)[None])
     out = ds.evaluate({"kpt": kpts})
     assert out["nme"] < 1e-6
+
+    # without the real indices, eval must refuse (no fabricated NME)
+    ds_bare = build_dataset(dict(type="ThreeHundredWLPDataset",
+                                 datapath=str(tmp_path / "list.txt"),
+                                 img_prefix=str(tmp_path), resolution=S))
+    with pytest.raises(ValueError, match="uv_kpt_ind"):
+        ds_bare.evaluate({"kpt": kpts})

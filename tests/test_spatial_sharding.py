@@ -77,3 +77,73 @@ def test_global_hidden_volume_spatial_sharding():
     assert np.isfinite(float(loss))
     # updated volumes exist and stayed on the mesh
     assert len(mstate2["global_hidden"].volumes[2].sharding.device_set) == 8
+
+
+def test_block_sparse_data_parallel_matches_single_device():
+    """The block-sparse pipeline (bench.py's headline path) sharded over the
+    data axis must compute the same per-fragment losses as unsharded:
+    select_blocks / halo gathers / block scatters all partition over SPMD."""
+    import optax
+    from jax.sharding import NamedSharding
+
+    from deep3dmap_tpu.datasets.builder import _stack_samples
+    from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
+    from deep3dmap_tpu.models.frameworks.neuralrecon import NeuralRecon
+
+    cfgs = dict(N_LAYER=3, N_VOX=[32] * 3, VOXEL_SIZE=0.08,
+                TRAIN_NUM_SAMPLE=[64, 256],
+                FUSION=dict(FUSION_ON=True, FULL=True),
+                LW=[1.0, 0.8, 0.64], THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5,
+                BACKBONE2D=dict(ARC="fpn-mnas-0.5"),
+                SPARSE_MODE="block", BLOCK_SIZE=8, MAX_BLOCKS=[None, 4, 24])
+    fw = NeuralRecon(cfgs)
+    n_dev = len(jax.devices())
+    samples = [make_fragment_sample(seed=i, n_views=2, img_size=(32, 32),
+                                    n_vox=32, voxel_size=0.08)
+               for i in range(n_dev)]
+    batch = _stack_samples(samples)
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    def step(params, opt, mstate, batch, rng):
+        (loss, aux), g = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+            params, mstate, batch, rng)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, aux["model_state"], loss
+
+    key = jax.random.PRNGKey(1)
+    # single-device reference
+    p_ref, _, ms_ref, loss_ref = jax.jit(step)(params, opt, mstate, batch, key)
+    jax.block_until_ready(loss_ref)
+
+    # data-parallel: batch + recurrent volumes sharded on the fragment axis
+    mesh = make_mesh(axes=("data",))
+    dp = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def shard(tree, leading):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                jnp.asarray(x),
+                dp if (leading and jnp.asarray(x).ndim >= 1
+                       and jnp.asarray(x).shape[0] == n_dev) else repl),
+            tree)
+
+    batch_s = shard(batch, True)
+    mstate_s = shard(mstate, True)
+    params_s = shard(params, False)
+    opt_s = shard(opt, False)
+    with mesh:
+        p_sh, _, ms_sh, loss_sh = jax.jit(step)(params_s, opt_s, mstate_s,
+                                                batch_s, key)
+        jax.block_until_ready(loss_sh)
+    assert len(loss_sh.sharding.device_set) >= 1
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref),
+                               rtol=2e-4, atol=1e-5)
+    # recurrent hidden volumes updated identically (fragment-local math)
+    for lvl in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(ms_sh["global_hidden"].volumes[lvl]),
+            np.asarray(ms_ref["global_hidden"].volumes[lvl]),
+            rtol=2e-3, atol=2e-4)

@@ -38,7 +38,8 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("kind", choices=["stylegan2", "stylegan2_g", "stylegan2_d",
-                                     "vgg16", "mnasnet", "clip", "bisenet"])
+                                     "vgg16", "mnasnet", "clip", "bisenet",
+                                     "dino"])
     ap.add_argument("src", help=".pth checkpoint path")
     ap.add_argument("dst", help="output .npz path")
     ap.add_argument("--size", type=int, default=128)
@@ -131,6 +132,19 @@ def main():
                                dtype=object)
         out["meta"] = np.array(dict(vision_cfg=vision_cfg, text_cfg=text_cfg,
                                     logit_scale=logit_scale), dtype=object)
+    elif args.kind == "dino":
+        # DINO ViT checkpoint (dino_vits8 etc.) -> DinoViT npz.  Load with
+        # models/modulars/dino_vit.DinoExtractor.from_npz or point the LERF
+        # config's dino_npz at it (parity: the reference's DINO extractor,
+        # datasets/ns/dataloaders/dino_extractor.py).
+        import jax
+        from deep3dmap_tpu.utils.torch_import import import_dino
+        sd = raw.get("state_dict", raw)
+        sd = {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+        cfg, params = import_dino(sd)
+        out["params"] = np.array(
+            jax.tree_util.tree_map(np.asarray, params), dtype=object)
+        out["meta"] = np.array(cfg, dtype=object)
     elif args.kind == "bisenet":
         # face-parsing BiSeNet checkpoint -> BiSeNetFP params (BN folded).
         # Use as Gan2Shape model_cfgs parsing_ckpt (use_mask=True).
