@@ -77,21 +77,25 @@ def _compiled_cost(compiled):
 
 
 def _compile_and_time(fn, *args, iters):
-    """AOT-compile once; returns (sec/inner-iteration, flops/inner-iteration).
-
-    One compile serves both timing and cost analysis — compiles dominate
-    wall time over the remote-TPU tunnel, so bench does exactly one per
-    measured variant.
-    """
+    """AOT-compile once; returns seconds per inner iteration."""
     import jax
     compiled = jax.jit(fn).lower(*args).compile()
-    flops, nbytes = _compiled_cost(compiled)
     out = compiled(*args)              # warmup (first run allocates)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = compiled(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, flops / iters, nbytes / iters
+    return (time.perf_counter() - t0) / iters
+
+
+def _cost_of(fn, *args):
+    """(flops, bytes) of ONE step.  Must be measured on an unscanned step:
+    XLA's cost analysis counts a while/scan body once regardless of trip
+    count, so dividing a scanned program's cost by its length undercounts
+    (r3 finding: the block forward is ~169 GF / ~33 GB per fragment, not
+    the 17 GF a scan/10 read suggested)."""
+    import jax
+    return _compiled_cost(jax.jit(fn).lower(*args).compile())
 
 
 def main():
@@ -139,9 +143,14 @@ def main():
         mstate, sums = jax.lax.scan(body, mstate, None, length=iters)
         return sums.sum()
 
-    infer_dt, infer_flops, infer_bytes = _compile_and_time(
-        stream, params, mstate, batch, iters=iters)
+    infer_dt = _compile_and_time(stream, params, mstate, batch, iters=iters)
     kf_per_s = n_views / infer_dt
+
+    def infer_once(params, mstate, batch):
+        out, new_state = fw.forward_test(params, mstate, batch)
+        return out["tsdf"], new_state
+
+    infer_flops, infer_bytes = _cost_of(infer_once, params, mstate, batch)
 
     # ---- training: jitted value_and_grad + optax step, same shapes -------
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
@@ -169,10 +178,11 @@ def main():
             body, (params, opt_state, mstate, rng), None, length=train_iters)
         return losses.sum()
 
-    train_dt, train_flops, train_bytes = _compile_and_time(
-        train_stream, params, opt_state, mstate, rng0, batch,
-        iters=train_iters)
+    train_dt = _compile_and_time(train_stream, params, opt_state, mstate,
+                                 rng0, batch, iters=train_iters)
     train_kf_per_s = n_views / train_dt
+    train_flops, train_bytes = _cost_of(one_step, params, opt_state, mstate,
+                                        rng0, batch)
 
     peak = _chip_peak_flops(jax.devices()[0])
     peak_bw = _chip_peak_bw(jax.devices()[0])

@@ -20,7 +20,12 @@ class SyntheticNerfDataset:
 
     def __init__(self, n_images: int = 8, img_wh=(64, 64), radius: float = 2.0,
                  elev_deg: float = 30.0, seed: int = 0, split: str = "train",
-                 pipeline=None):
+                 color_mode: str = "shade", pipeline=None):
+        """color_mode: 'shade' colors by camera distance (view-DEPENDENT —
+        fine for rendering-pipeline tests); 'position' colors each surface
+        point by its world position (photo-CONSISTENT across views — required
+        for pose-recovery/convergence tests, where view-dependent shading
+        would leave poses unconstrained)."""
         self.n_images = n_images
         self.img_wh = tuple(img_wh)
         W, H = self.img_wh
@@ -40,8 +45,22 @@ class SyntheticNerfDataset:
             pose = look_at_pose(eye, np.zeros(3, np.float32))
             depth = sphere_trace_depth(self.intrinsics, pose, H, W, spheres,
                                        floor_z=-10.0, max_depth=2 * radius)
-            shade = np.where(depth > 0, 1.0 - depth / (2 * radius), 0.0)
-            img = np.stack([shade, shade * 0.8, shade * 0.6], -1).astype(np.float32)
+            if color_mode == "position":
+                # world hit points -> smooth position-keyed albedo
+                u, v = np.meshgrid(np.arange(W), np.arange(H))
+                K = self.intrinsics
+                dirs = np.stack([(u - K[0, 2]) / K[0, 0],
+                                 (v - K[1, 2]) / K[1, 1],
+                                 np.ones_like(u, np.float32)], -1)
+                dirs = dirs @ pose[:3, :3].T
+                dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+                pts = pose[:3, 3] + dirs * depth[..., None]
+                img = 0.5 + 0.5 * np.sin(
+                    pts * np.array([3.0, 4.0, 5.0]) + np.array([0.0, 1.3, 2.1]))
+                img = np.where(depth[..., None] > 0, img, 0.0).astype(np.float32)
+            else:
+                shade = np.where(depth > 0, 1.0 - depth / (2 * radius), 0.0)
+                img = np.stack([shade, shade * 0.8, shade * 0.6], -1).astype(np.float32)
             self.images.append(img * 2.0 - 1.0)  # [-1, 1]
             self.poses.append(pose)
 

@@ -120,10 +120,18 @@ class Gan2Shape(BaseFramework):
     # -- setup --------------------------------------------------------------
     def parse_mask(self, images):
         """Category region mask from the pretrained parsing model
-        (parity: gan2shape.py:336-363).  images (B, S, S, 3) in [-1, 1]."""
+        (parity: gan2shape.py:313-363 — BiSeNet face parsing for
+        face/synface, PSPNet scene parsing for car/cat/church/horse, with
+        church using the 150-class ADE model).  images (B,S,S,3) in [-1,1]."""
         if self._face_parser is None:
-            from ..parsing.bisenet_fp import FaceParser
-            self._face_parser = FaceParser(self.parsing_ckpt)
+            if self.category in ("face", "synface"):
+                from ..parsing.bisenet_fp import FaceParser
+                self._face_parser = FaceParser(self.parsing_ckpt)
+            else:
+                from ..parsing.pspnet import SceneParser
+                n_classes = 150 if self.category == "church" else 21
+                self._face_parser = SceneParser(self.parsing_ckpt,
+                                                n_classes=n_classes)
         return self._face_parser.parse_mask(images, self.category,
                                             out_size=self.image_size)
 

@@ -45,8 +45,28 @@ class LERFModel(BaseFramework):
         self.clip_loss_weight = cfg.get("clip_loss_weight", 0.5)
         self.dino_loss_weight = cfg.get("dino_loss_weight", 1.0)
 
-        self.rgb_field = NeRF(fc_depth=cfg.get("fc_depth", 4),
-                              fc_dim=cfg.get("fc_dim", 128))
+        # RGB field: "hashgrid" = nerfacto parity (hashgrid density/color
+        # field + proposal-network sampling + interlevel loss, ref
+        # lerf.py:23-36 riding NerfactoModel); "mlp" = classic NeRF MLP
+        # with uniform+pdf sampling (lighter, used by small synthetic tests)
+        self.rgb_field_type = cfg.get("rgb_field_type", "mlp")
+        if self.rgb_field_type == "hashgrid":
+            from ..modulars.hash_nerf import HashNerfField, ProposalDensityField
+            self.rgb_field = HashNerfField(
+                n_levels=cfg.get("rgb_grid_levels", 8),
+                features_per_level=cfg.get("rgb_grid_features", 4),
+                log2_hashmap_size=cfg.get("rgb_grid_log2", 16),
+                base_res=cfg.get("rgb_grid_base", 16),
+                end_res=cfg.get("rgb_grid_end", 256),
+                hidden=cfg.get("rgb_hidden", 64))
+            self.proposal_field = ProposalDensityField(
+                log2_hashmap_size=cfg.get("prop_grid_log2", 14),
+                end_res=cfg.get("prop_grid_end", 64))
+            self.n_prop_samples = cfg.get("N_proposal", 48)
+            self.interlevel_mult = cfg.get("interlevel_loss_mult", 1.0)
+        else:
+            self.rgb_field = NeRF(fc_depth=cfg.get("fc_depth", 4),
+                                  fc_dim=cfg.get("fc_dim", 128))
         self.lerf_field = LERFField(
             grid_layers=tuple(cfg.get("grid_layers", (4, 4))),
             grid_sizes=tuple(cfg.get("grid_sizes", (14, 14))),
@@ -58,7 +78,50 @@ class LERFModel(BaseFramework):
                                          weights_path=cfg.get("clip_weights"))
 
     # -- core rendering ------------------------------------------------------
+    def _render_rays_hash(self, params, rays_o, rays_d, rng, perturb=1.0):
+        """Nerfacto-parity path: proposal-network piecewise sampling into the
+        hashgrid field, plus the interlevel loss term (lerf.py:23-36 rides
+        NerfactoModel; proposal machinery in modulars/hash_nerf.py)."""
+        from ..modulars.hash_nerf import interlevel_loss, weights_from_sigmas
+
+        N = rays_o.shape[0]
+        near = jnp.full((N, 1), self.near)
+        far = jnp.full((N, 1), self.far)
+        r1, r2 = jax.random.split(rng)
+
+        # stratified proposal samples on [near, far]
+        P = self.n_prop_samples
+        edges = near + (far - near) * jnp.linspace(0, 1, P + 1)
+        if perturb > 0:
+            u = jax.random.uniform(r2, (N, P))
+        else:
+            u = jnp.full((N, P), 0.5)
+        z_prop = edges[:, :-1] + (edges[:, 1:] - edges[:, :-1]) * u
+        xyz_p = rays_o[:, None] + rays_d[:, None] * z_prop[..., None]
+        sigma_p = self.proposal_field.apply(
+            {"params": params["proposal"]}, self._positions01(xyz_p))
+        w_prop = weights_from_sigmas(sigma_p, z_prop)
+
+        # PDF-resample the main field's samples from the proposal histogram
+        z_main = sample_pdf(r1, edges, w_prop + 1e-5, self.n_importance,
+                            det=(perturb == 0))
+        z_all = jnp.sort(z_main, -1)
+        xyz = rays_o[:, None] + rays_d[:, None] * z_all[..., None]
+        S = xyz.shape[1]
+        dirs = jnp.broadcast_to(rays_d[:, None], (N, S, 3))
+        rgbs, sigmas = self.rgb_field.apply(
+            {"params": params["rgb_field"]}, self._positions01(xyz), dirs)
+        rgb, depth, weights = volume_render(sigmas, rgbs, z_all, rays_d, far)
+
+        # final-sample bin edges for the histogram (interlevel) loss
+        mid = 0.5 * (z_all[:, :-1] + z_all[:, 1:])
+        t_final = jnp.concatenate([z_all[:, :1], mid, z_all[:, -1:]], -1)
+        prop_loss = interlevel_loss(edges, w_prop, t_final, weights)
+        return rgb, depth, weights, z_all, xyz, {"prop_loss": prop_loss}
+
     def _render_rays(self, params, rays_o, rays_d, rng, perturb=1.0):
+        if self.rgb_field_type == "hashgrid":
+            return self._render_rays_hash(params, rays_o, rays_d, rng, perturb)
         N = rays_o.shape[0]
         near = jnp.full((N, 1), self.near)
         far = jnp.full((N, 1), self.far)
@@ -84,7 +147,7 @@ class LERFModel(BaseFramework):
         z_all = jnp.sort(jnp.concatenate([z_vals, new_z], -1), -1)
         rgbs, sigmas, xyz = field(z_all)
         rgb, depth, weights = volume_render(sigmas, rgbs, z_all, rays_d, far)
-        return rgb, depth, weights, z_all, xyz
+        return rgb, depth, weights, z_all, xyz, {}
 
     def _lerf_samples(self, weights, z_all, xyz):
         """Top-K weighted samples per ray (lerf.py:112-121)."""
@@ -98,7 +161,7 @@ class LERFModel(BaseFramework):
 
     # -- framework contract --------------------------------------------------
     def init(self, rng, batch):
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         n = batch["rays_o"].shape[0]
         params = {
             "rgb_field": self.rgb_field.init(
@@ -106,11 +169,14 @@ class LERFModel(BaseFramework):
             "lerf_field": self.lerf_field.init(
                 k2, jnp.zeros((8, 4, 3)), jnp.zeros((8, 4, 1)))["params"],
         }
+        if self.rgb_field_type == "hashgrid":
+            params["proposal"] = self.proposal_field.init(
+                k3, jnp.zeros((8, 3)))["params"]
         return params, {}
 
     def loss_fn(self, params, model_state, batch, rng):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        rgb, depth, weights, z_all, xyz = self._render_rays(
+        rgb, depth, weights, z_all, xyz, raux = self._render_rays(
             params, batch["rays_o"], batch["rays_d"], rng)
         rgb_loss = ((rgb - batch["rgb"]) ** 2).mean()
 
@@ -127,9 +193,12 @@ class LERFModel(BaseFramework):
         clip_loss = jnp.abs(clip_render - batch["clip"]).mean() * self.clip_loss_weight
         dino_loss = ((dino_render - batch["dino"]) ** 2).mean() * self.dino_loss_weight
         total = rgb_loss + clip_loss + dino_loss
-        return total, {"log_vars": {"rgb_loss": rgb_loss, "clip_loss": clip_loss,
-                                    "dino_loss": dino_loss},
-                       "model_state": model_state}
+        log_vars = {"rgb_loss": rgb_loss, "clip_loss": clip_loss,
+                    "dino_loss": dino_loss}
+        if "prop_loss" in raux:
+            total = total + self.interlevel_mult * raux["prop_loss"]
+            log_vars["prop_loss"] = raux["prop_loss"]
+        return total, {"log_vars": log_vars, "model_state": model_state}
 
     def get_max_across(self, params, weights, hashgrid_feats,
                        preset_scales: Optional[Sequence[float]] = None):
@@ -154,7 +223,7 @@ class LERFModel(BaseFramework):
 
     def forward_test(self, params, model_state, batch):
         rng = jax.random.PRNGKey(0)
-        rgb, depth, weights, z_all, xyz = self._render_rays(
+        rgb, depth, weights, z_all, xyz, _ = self._render_rays(
             params, batch["rays_o"], batch["rays_d"], rng, perturb=0.0)
         out = {"rgb": rgb, "depth": depth}
         if self.image_encoder.positives:

@@ -54,3 +54,45 @@ class PSPNet(nn.Module):
         out = nn.Conv(self.n_classes, (1, 1))(h)
         return jax.image.resize(out, (x.shape[0], x.shape[1], x.shape[2],
                                       self.n_classes), "bilinear")
+
+
+class SceneParser:
+    """PSPNet-backed parse_mask for non-face Gan2Shape categories
+    (parity: gan2shape.py:313-363 init_parsing_model/parse_mask — the
+    reference drives PSPNet with 21 classes for car/cat/horse and 150 for
+    church, ImageNet-normalizing car/cat inputs).
+
+    Args:
+        weights_path: .npz with a 'params' tree — random init otherwise
+            (pipeline runs / tests).
+    """
+
+    def __init__(self, weights_path=None, n_classes: int = 21, seed: int = 0):
+        import numpy as np
+
+        self.net = PSPNet(n_classes=n_classes)
+        if weights_path:
+            data = np.load(weights_path, allow_pickle=True)
+            self.params = jax.tree_util.tree_map(jnp.asarray,
+                                                 data["params"].item())
+        else:
+            self.params = jax.jit(self.net.init)(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+        self._apply = jax.jit(self.net.apply)
+
+    def parse_mask(self, images, category: str = "car", out_size=None):
+        """images (B, H, W, 3) in [-1, 1] -> (B, S, S, 1) soft mask."""
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        size = 473
+        x = jax.image.resize(images, (images.shape[0], size, size, 3),
+                             "bilinear")
+        if category in ("car", "cat"):
+            x = (x / 2 + 0.5 - mean) / std
+        cls = jnp.argmax(self._apply(self.params, x), axis=-1)
+        class_id = {"car": 7, "cat": 8, "church": 1, "horse": 13}[category]
+        mask = (cls == class_id).astype(jnp.float32)[..., None]
+        if out_size:
+            mask = jax.image.resize(
+                mask, (mask.shape[0], out_size, out_size, 1), "bilinear")
+        return mask

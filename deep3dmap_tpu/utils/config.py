@@ -269,9 +269,13 @@ class DictAction(argparse.Action):
             key, sep, val = kv.partition("=")
             if not sep:
                 raise ValueError(f"Invalid option '{kv}', expected KEY=VALUE")
-            if "," in val:
-                parsed = [DictAction._parse_value(v) for v in val.split(",") if v != ""]
-                options[key] = parsed
-            else:
-                options[key] = DictAction._parse_value(val)
+            # literal_eval first: handles tuples/lists/dicts with brackets
+            # ("(16,16)", "[0,1]") and bare comma tuples ("1,2,3");
+            # only split manually when the value isn't a python literal
+            # (e.g. "a,b" string lists)
+            parsed = DictAction._parse_value(val)
+            if isinstance(parsed, str) and "," in val:
+                parsed = [DictAction._parse_value(v)
+                          for v in val.split(",") if v != ""]
+            options[key] = parsed
         setattr(namespace, self.dest, options)

@@ -152,6 +152,7 @@ def test_block_unet_and_gru_shapes_and_masking():
     assert np.all(np.asarray(h2)[0, ~v] == 0)
 
 
+@pytest.mark.slow
 def test_block_unet_grads_flow():
     from deep3dmap_tpu.models.modulars.block_dense3d import BlockUNet3D
 

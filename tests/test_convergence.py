@@ -1,0 +1,282 @@
+"""Convergence tests (slow): GNeRF recovers poses + image quality on a
+synthetic scene; Gan2Shape step1 recovers depth on a realizable lambertian
+instance.  VERDICT r2 weak #3 — "compiles and steps" != "works".
+
+Both fit a tiny synthetic problem for a few hundred jitted iterations inside
+one lax.scan (one compile, CPU-friendly) and assert the *reconstruction
+metric* improves materially, not just that losses are finite.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10.0 * np.log10(4.0 / max(mse, 1e-12))  # images in [-1, 1]
+
+
+# ---------------------------------------------------------------------------
+# GNeRF: refine phase recovers perturbed poses and fits the scene
+# (ref behavior: gnerf.py:101-111 optimize sequences; state B refine)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_gnerf_refine_recovers_poses_and_psnr():
+    """Two-stage protocol: (1) the refine loss fits the radiance field at GT
+    poses (PSNR improves materially); (2) with the field frozen, the same
+    training_refine_step gradients recover perturbed poses (rot error drops
+    >2x).  Joint from-scratch pose+field co-adaptation is not CI-assertable
+    (NeRF pose basins are narrow — BARF); stage 2 is exactly what GNeRF's
+    phase-B refinement contributes on top of phase-A's coarse poses.
+    The dataset uses color_mode='position' (photo-consistent across views) —
+    with view-dependent shading the poses would be unconstrained."""
+    from deep3dmap_tpu.datasets.nerf_synthetic import SyntheticNerfDataset
+    from deep3dmap_tpu.models.frameworks.gnerf import GanNerf
+    from deep3dmap_tpu.models.modulars.embeddings import pose_to_d9
+
+    n_img, wh = 5, (24, 24)
+    ds = SyntheticNerfDataset(n_images=n_img, img_wh=wh, radius=2.0,
+                              color_mode="position")
+    cfg = dict(img_wh=wh, patch_size=16, inv_size=16, pose_mode="6d",
+               fc_depth=3, fc_dim=48, N_samples=16, N_importance=8, ndf=8,
+               inv_depth=2, n_train_images=n_img, n_val_images=1,
+               near=0.8, far=4.0)
+    fw = GanNerf(cfg)
+    fw.ray_sampler.set_start_intrinsics(np.asarray(ds.intrinsics))
+
+    imgs = jnp.asarray(np.stack(ds.images))          # (N, H, W, 3) in [-1,1]
+    idx = jnp.arange(n_img)
+    batch = dict(imgs=imgs, img_idx=idx)
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+
+    # GT poses in GNeRF's camera convention (x right, y up, -z forward);
+    # the dataset's look_at_pose is vision convention (y down, +z forward)
+    gt = []
+    for p in ds.poses:
+        gt.append(np.stack([p[:3, 0], -p[:3, 1], -p[:3, 2], p[:3, 3]], axis=1))
+    gt = jnp.asarray(np.stack(gt))                   # (N, 3, 4)
+    gt_d9 = pose_to_d9(jnp.concatenate([gt[:, :, :3], gt[:, :, 3:]], -1))
+
+    rs = np.random.RandomState(3)
+    from deep3dmap_tpu.core.sfm.se3 import so3_exp
+    Rn = so3_exp(jnp.asarray(rs.randn(n_img, 3) * 0.05))
+    R0 = jnp.einsum("nij,njk->nik", Rn, gt[:, :, :3])
+    t0 = gt[:, :, 3] + jnp.asarray(rs.randn(n_img, 3) * 0.03)
+    noisy_d9 = pose_to_d9(jnp.concatenate([R0, t0[..., None]], -1))
+
+    def pose_err(params):
+        poses = fw.train_pose_params.apply({"params": params["train_poses"]}, idx)
+        dR = jnp.einsum("nij,nkj->nik", poses[:, :, :3], gt[:, :, :3])
+        cos = (jnp.trace(dR, axis1=1, axis2=2) - 1) / 2
+        rot = jnp.degrees(jnp.arccos(jnp.clip(cos, -1, 1)))
+        return float(rot.mean())
+
+    def render_at_train_poses(params):
+        poses = fw.train_pose_params.apply({"params": params["train_poses"]}, idx)
+        coords, _ = fw.full_img_sampler(None, n_img, fw.img_wh)
+        rays = fw.ray_sampler.get_rays(coords, poses, fw.img_wh).reshape(-1, 8)
+        out = fw.generator.apply({"params": params["generator"]}, rays,
+                                 rng=jax.random.PRNGKey(0), perturb=0.0,
+                                 noise_std=0.0)
+        H, W = wh[1], wh[0]
+        return out["fine"]["rgb"].reshape(n_img, H, W, 3)
+
+    txs = {"generator": optax.adam(5e-3), "train_poses": optax.adam(1e-2)}
+    opt = {k: txs[k].init(params[k]) for k in ("generator", "train_poses")}
+
+    def make_step(nets):
+        def step(carry, rng):
+            params, opt = carry
+
+            def loss_for(p):
+                return fw.loss_fn(p, mstate, batch, rng, state="B",
+                                  opt_seq="training_refine_step")
+
+            (loss, aux), g = jax.value_and_grad(loss_for, has_aux=True)(params)
+            params = dict(params)
+            for k in nets:
+                u, opt[k] = txs[k].update(g[k], opt[k], params[k])
+                params[k] = optax.apply_updates(params[k], u)
+            return (params, dict(opt)), loss
+        return step
+
+    # stage 1: fit the field at GT poses with the refine loss
+    params = dict(params, train_poses={"poses_embed": gt_d9})
+    psnr0 = _psnr(render_at_train_poses(params), imgs)
+    run_g = jax.jit(lambda c, ks: jax.lax.scan(make_step(("generator",)), c, ks))
+    keys = jax.random.split(jax.random.PRNGKey(7), 500)
+    (params, opt), losses = run_g((params, opt), keys)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-20:].mean() < 0.5 * losses[:20].mean()
+    psnr1 = _psnr(render_at_train_poses(params), imgs)
+    assert psnr1 > psnr0 + 3.0, f"PSNR {psnr0:.2f} -> {psnr1:.2f}"
+
+    # stage 2: freeze the field, recover perturbed poses
+    params = dict(params, train_poses={"poses_embed": noisy_d9})
+    rot0 = pose_err(params)
+    assert rot0 > 2.0  # perturbation is material
+    run_p = jax.jit(lambda c, ks: jax.lax.scan(make_step(("train_poses",)), c, ks))
+    keys = jax.random.split(jax.random.PRNGKey(11), 300)
+    (params2, _), losses = run_p((params, opt), keys)
+    assert np.isfinite(np.asarray(losses)).all()
+    rot1 = pose_err(params2)
+    assert rot1 < 0.5 * rot0, f"pose rot err {rot0:.2f} -> {rot1:.2f} deg"
+    psnr2 = _psnr(render_at_train_poses(params2), imgs)
+    psnr_noisy = _psnr(render_at_train_poses(dict(
+        params, train_poses={"poses_embed": noisy_d9})), imgs)
+    assert psnr2 > psnr_noisy, f"PSNR {psnr_noisy:.2f} -> {psnr2:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# Gan2Shape: step1 photometric fitting recovers depth on a realizable
+# lambertian instance (ref metric SIDE/MAD, gan2shape.py:918-943)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_gan2shape_step1_recovers_depth():
+    from deep3dmap_tpu.core.renderer.renderer_nr import get_transform_matrices
+    from deep3dmap_tpu.models.frameworks.gan2shape import Gan2Shape
+
+    S = 32
+    cfg = dict(image_size=S, gan_size=S, z_dim=32, n_mlp=2, nf=8,
+               channel_multiplier=1, lam_perc=0.0, lam_smooth=0.005)
+    fw = Gan2Shape(cfg)
+
+    # ---- ground-truth instance rendered by the same forward model ----
+    # Constant-gray GT albedo + frozen albedo head: with free albedo,
+    # step1-only depth is ILL-POSED (albedo paints the shading and flat
+    # depth minimizes the smoothness prior — the reference resolves this
+    # with the GAN steps 2/3 + relit pseudo-samples).  Freezing albedo
+    # makes this classic shape-from-shading: depth must carry the shading.
+    rs = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, S), np.linspace(-1, 1, S),
+                         indexing="ij")
+    bump = np.exp(-((xx + 0.1) ** 2 + (yy - 0.05) ** 2) / 0.18)
+    depth_gt = jnp.asarray((1.08 - 0.16 * bump)[None].astype(np.float32))
+    albedo_gt = jnp.zeros((1, S, S, 3), jnp.float32)
+    light = jnp.asarray([[0.2, 0.6, 0.25, 0.15]])  # raw head output space
+    la, lb, ld = fw._light_terms(light)
+    normal_gt = fw.renderer.get_normal_from_depth(depth_gt)
+    texture, _ = fw._shade(albedo_gt, normal_gt, la, lb, ld)
+    rot, trans = get_transform_matrices(jnp.zeros((1, 6)))
+    recon_depth = fw.renderer.warp_canon_depth(depth_gt, rot, trans)
+    grid = fw.renderer.get_inv_warped_2d_grid(recon_depth, rot, trans)
+    im = jnp.clip(fw.renderer._grid_sample_images(texture, grid), -1, 1)
+
+    batch = dict(input_im=im)
+    params, mstate = fw.init(jax.random.PRNGKey(1), batch)
+    heads = ["depth_head", "view_head", "light_head"]  # albedo frozen
+
+    inner = (slice(None), slice(4, S - 4), slice(4, S - 4))
+
+    def depth_metrics(params):
+        d, *_ = fw._predict_canonical(params, im)
+        d = np.asarray(d)[inner].ravel()
+        g = np.asarray(depth_gt)[inner].ravel()
+        corr = float(np.corrcoef(d, g)[0, 1])
+        # scale-invariant depth error (SIDE), the reference's metric
+        logd = np.log(d) - np.log(g)
+        side = float(np.sqrt(np.mean(logd ** 2) - np.mean(logd) ** 2))
+        return corr, side
+
+    tx = optax.adam(2e-3)
+    opt = {k: tx.init(params[k]) for k in heads}
+
+    def step(carry, rng):
+        params, opt = carry
+
+        def loss_for(p):
+            total, log, _ = fw.forward_step1(p, mstate, batch, rng)
+            return total
+
+        loss, g = jax.value_and_grad(loss_for)(params)
+        params = dict(params)
+        for k in heads:
+            u, opt[k] = tx.update(g[k], opt[k], params[k])
+            params[k] = optax.apply_updates(params[k], u)
+        return (params, dict(opt)), loss
+
+    corr0, side0 = depth_metrics(params)
+    n_iters = 300
+    keys = jax.random.split(jax.random.PRNGKey(5), n_iters)
+    run = jax.jit(lambda c, ks: jax.lax.scan(step, c, ks))
+    (params2, _), losses = run((params, opt), keys)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+
+    corr1, side1 = depth_metrics(params2)
+    # |corr|: with light direction also free, single-image SfS has the
+    # classic convex/concave (bas-relief) ambiguity — the recovered bump can
+    # come out sign-flipped.  The reference's full pipeline breaks the tie
+    # with the GAN prior (steps 2/3), which a CI budget can't run; recovering
+    # the GT structure up to sign is the step1 convergence property.
+    assert abs(corr1) > 0.45, f"depth corr {corr0:.3f} -> {corr1:.3f}"
+    assert abs(corr1) > abs(corr0) + 0.2
+
+
+# ---------------------------------------------------------------------------
+# LERF RGB field upgrade: hashgrid+proposal matches or beats the MLP field
+# at an equal step budget (VERDICT r2 next #9 done-criterion)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_lerf_hashgrid_psnr_ge_mlp_at_equal_steps():
+    from deep3dmap_tpu.datasets.lerf_rays import LERFRayDataset
+    from deep3dmap_tpu.models.frameworks.lerf import LERFModel
+
+    base = dict(clip_n_dims=32, dino_n_dims=32, num_lerf_samples=6,
+                N_samples=24, N_importance=24, near=0.8, far=4.0,
+                grid_layers=(2,), grid_sizes=(12,), grid_resolutions=((16, 64),),
+                hidden=32, fc_depth=4, fc_dim=64)
+    hash_cfg = dict(base, rgb_field_type="hashgrid", N_proposal=24,
+                    rgb_grid_levels=6, rgb_grid_log2=14, rgb_grid_end=128,
+                    rgb_hidden=48)
+
+    def train_and_psnr(cfg, n_steps=250):
+        fw = LERFModel(cfg)
+        ds = LERFRayDataset(rays_per_batch=512, n_batches=8, clip_n_dims=32,
+                            dino_n_dims=32, image_encoder=fw.image_encoder,
+                            seed=11)
+        batches = [jax.tree_util.tree_map(jnp.asarray, b) for b in ds]
+        params, mstate = fw.init(jax.random.PRNGKey(0), batches[0])
+        tx = optax.adam(5e-3)
+        opt = tx.init(params)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches)
+
+        def step(carry, inp):
+            params, opt = carry
+            rng, batch = inp
+
+            def loss_for(p):
+                return fw.loss_fn(p, mstate, batch, rng)
+
+            (loss, aux), g = jax.value_and_grad(loss_for, has_aux=True)(params)
+            u, opt = tx.update(g, opt, params)
+            return (optax.apply_updates(params, u), opt), loss
+
+        keys = jax.random.split(jax.random.PRNGKey(3), n_steps)
+        idx = jnp.arange(n_steps) % len(batches)
+        feed = (keys, jax.tree_util.tree_map(lambda x: x[idx], stacked))
+        run = jax.jit(lambda c, f: jax.lax.scan(step, c, f))
+        (params, _), losses = run((params, opt), feed)
+        assert np.isfinite(np.asarray(losses)).all()
+        # held-out rays from a different seed
+        ds_val = LERFRayDataset(rays_per_batch=1024, n_batches=1,
+                                clip_n_dims=32, dino_n_dims=32,
+                                image_encoder=fw.image_encoder, seed=99)
+        vb = next(iter(ds_val))
+        out, _ = jax.jit(fw.forward_test)(
+            params, mstate, jax.tree_util.tree_map(jnp.asarray, vb))
+        mse = float(np.mean((np.asarray(out["rgb"]) - vb["rgb"]) ** 2))
+        return 10.0 * np.log10(4.0 / max(mse, 1e-12))
+
+    psnr_mlp = train_and_psnr(dict(base, rgb_field_type="mlp"))
+    psnr_hash = train_and_psnr(hash_cfg)
+    # equal-or-better (small tolerance for run-to-run jitter)
+    assert psnr_hash >= psnr_mlp - 0.25, (psnr_mlp, psnr_hash)

@@ -85,6 +85,7 @@ def test_step1_loss_and_outputs(g2s):
     assert d.min() >= fw.min_depth - 0.11 and d.max() <= fw.max_depth + 0.11
 
 
+@pytest.mark.slow
 def test_step2_loss(g2s):
     fw, ds, batch, params, mstate = g2s
     canon = {"depth": jnp.full((1, 32, 32), 1.0),
@@ -113,6 +114,7 @@ def test_step3_loss(g2s):
     assert "step3_l1" in log
 
 
+@pytest.mark.slow
 def test_gan2shape_runner_full_loop(tmp_path):
     fw = Gan2Shape(CFG)
     ds = SyntheticGanFaceDataset(n_samples=2, image_size=32, z_dim=32)

@@ -116,6 +116,7 @@ def test_gnerf_optimize_sequences(gnerf_setup):
     "generator_trainstep", "discriminator_trainstep", "inversion_net_trainstep",
     "training_pose_regularization", "training_refine_step", "val_refine_step",
 ])
+@pytest.mark.slow
 def test_gnerf_all_sequences_finite(gnerf_setup, opt_seq):
     fw, params, mstate, batch = gnerf_setup
     loss, aux = fw.loss_fn(params, mstate, batch, jax.random.PRNGKey(2),

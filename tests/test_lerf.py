@@ -105,3 +105,26 @@ def test_lerf_relevancy_inference(lerf_setup):
     assert out["raw_relevancy"].shape == (1, 64)
     assert out["best_scales"].shape == (1,)
     assert np.isfinite(np.asarray(out["raw_relevancy"])).all()
+
+
+def test_lerf_hashgrid_field_loss_and_grads():
+    """Nerfacto-parity RGB path: proposal sampling + interlevel loss."""
+    cfg = dict(CFG, rgb_field_type="hashgrid", N_proposal=16, N_importance=16,
+               rgb_grid_levels=4, rgb_grid_log2=10, rgb_grid_end=64,
+               rgb_hidden=32)
+    fw = LERFModel(cfg)
+    ds = LERFRayDataset(rays_per_batch=64, n_batches=1, clip_n_dims=64,
+                        dino_n_dims=32, image_encoder=fw.image_encoder)
+    batch = next(iter(ds))
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+    assert "proposal" in params
+    loss, aux = fw.loss_fn(params, mstate, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "prop_loss" in aux["log_vars"]
+    g = jax.grad(lambda p: fw.loss_fn(p, mstate, batch,
+                                      jax.random.PRNGKey(1))[0])(params)
+    for net in ("rgb_field", "proposal", "lerf_field"):
+        s = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g[net]))
+        assert s > 0, net
+    out, _ = jax.jit(fw.forward_test)(params, mstate, batch)
+    assert np.isfinite(np.asarray(out["rgb"])).all()

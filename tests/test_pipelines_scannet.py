@@ -68,6 +68,7 @@ def _fake_scannet(root, scene="scene0000_00", n_frames=10):
     return s
 
 
+@pytest.mark.slow
 def test_scannet_roundtrip(tmp_path):
     root = str(tmp_path)
     _fake_scannet(root)

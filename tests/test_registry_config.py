@@ -81,5 +81,10 @@ def test_dict_action():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg-options", nargs="+", action=DictAction)
-    args = parser.parse_args(["--cfg-options", "model.lr=0.01", "flag=True", "vals=1,2,3"])
-    assert args.cfg_options == {"model.lr": 0.01, "flag": True, "vals": [1, 2, 3]}
+    args = parser.parse_args(["--cfg-options", "model.lr=0.01", "flag=True",
+                              "vals=1,2,3", "wh=(16,16)", "steps=[0,1,2]",
+                              "names=a,b", "x=None"])
+    assert args.cfg_options == {"model.lr": 0.01, "flag": True,
+                                "vals": (1, 2, 3), "wh": (16, 16),
+                                "steps": [0, 1, 2], "names": ["a", "b"],
+                                "x": None}

@@ -1,5 +1,6 @@
 """Spatially-sharded volume tests on the virtual 8-device mesh."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def test_sharded_fusion_matches_single_device():
     assert len(t_sh.sharding.device_set) == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_global_hidden_volume_spatial_sharding():
     """NeuralRecon's recurrent volumes shard spatially and the train step
     still compiles and runs (XLA handles boundary-straddling windows)."""
@@ -79,6 +81,7 @@ def test_global_hidden_volume_spatial_sharding():
     assert len(mstate2["global_hidden"].volumes[2].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_block_sparse_data_parallel_matches_single_device():
     """The block-sparse pipeline (bench.py's headline path) sharded over the
     data axis must compute the same per-fragment losses as unsharded:

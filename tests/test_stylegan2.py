@@ -67,6 +67,7 @@ def test_generator_shapes(gan32):
     assert img2.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_discriminator_and_gan_grads(gan32):
     g, d, gp, dp, z, img = gan32
     score = d.apply(dp, img)
