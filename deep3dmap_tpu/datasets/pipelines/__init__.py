@@ -2,6 +2,10 @@ from .compose import Compose
 from .formating import Collect, ToFloat32, ImageToArray
 from .loading import LoadImageFromFile, LoadArrayUsingNp, LoadMatDictUsingSio
 from .transforms import Resize, Normalize, RandomFlip, Pad, CenterCrop
+from .auto_augment import (AutoAugment, BrightnessTransform, ColorTransform,
+                           ContrastTransform, EqualizeTransform, Rotate,
+                           Shear, Translate)
+from .test_time_aug import MultiScaleFlipAug
 from .transforms_seq import (
     SeqResizeImage,
     SeqNormalizeImages,
@@ -13,6 +17,9 @@ __all__ = [
     "Compose", "Collect", "ToFloat32", "ImageToArray",
     "LoadImageFromFile", "LoadArrayUsingNp", "LoadMatDictUsingSio",
     "Resize", "Normalize", "RandomFlip", "Pad", "CenterCrop",
+    "AutoAugment", "Shear", "Rotate", "Translate", "ColorTransform",
+    "EqualizeTransform", "BrightnessTransform", "ContrastTransform",
+    "MultiScaleFlipAug",
     "SeqResizeImage", "SeqNormalizeImages",
     "SeqIntrinsicsPoseToProjection", "SeqRandomTransformSpace",
 ]

@@ -386,3 +386,46 @@ class DvcliveLoggerHook(_ScalarLoggerHook):
         self._live.step = step
         for k, v in scalars.items():
             self._live.log_metric(k, v)
+
+
+@HOOKS.register_module()
+class HeartbeatHook(Hook):
+    """Liveness beacon for the elastic supervisor (tools/run_elastic.py).
+
+    Writes ``{"time", "iter", "epoch"}`` to a small json file every
+    ``interval`` iterations and at epoch boundaries.  SURVEY §5.3: the
+    reference has no failure detection at all (time.sleep workarounds only);
+    this is the thin heartbeat half — the restart half is the supervisor,
+    which watches this file's mtime and restarts a stalled/crashed trainer
+    from the latest checkpoint (--resume-from auto).
+    """
+
+    PRIORITY = 10
+
+    def __init__(self, path: str, interval: int = 10):
+        self.path = path
+        self.interval = int(interval)
+
+    def _beat(self, runner):
+        import json
+        import os
+        import time as _t
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"time": _t.time(), "iter": int(runner.iter),
+                       "epoch": int(runner.epoch)}, f)
+        os.replace(tmp, self.path)  # atomic: the watcher never reads a torn file
+
+    def before_run(self, runner):
+        self._beat(runner)
+
+    def after_train_iter(self, runner):
+        if (runner.iter + 1) % self.interval == 0:
+            self._beat(runner)
+
+    def after_train_epoch(self, runner):
+        self._beat(runner)
+
+    def after_run(self, runner):
+        self._beat(runner)

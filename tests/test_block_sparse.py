@@ -124,6 +124,7 @@ def test_block_conv_matches_dense_conv():
     np.testing.assert_allclose(out_dense, np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_unet_and_gru_shapes_and_masking():
     from deep3dmap_tpu.models.modulars.block_dense3d import (BlockConvGRU3D,
                                                              BlockUNet3D)

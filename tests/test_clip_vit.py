@@ -69,6 +69,7 @@ def test_cfg_sniffing(rng):
                       heads=1, embed_dim=48)
 
 
+@pytest.mark.slow
 def test_import_and_forward(rng, tmp_path):
     sd = make_torch_clip_sd(rng)
     vc, tc, vp, tp, scale = import_clip(sd)

@@ -104,6 +104,7 @@ def test_project_param_shapes():
     assert R.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_resnet_v1_backbone():
     import jax
     import jax.numpy as jnp

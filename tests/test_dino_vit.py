@@ -177,6 +177,7 @@ def test_pyramid_random_scales_shapes(rng):
     assert (scales >= 0).all() and (scales <= 1).all()
 
 
+@pytest.mark.slow
 def test_lerf_ray_dataset_serves_dino_and_pyramid():
     from deep3dmap_tpu.datasets.lerf_rays import LERFRayDataset
 

@@ -48,6 +48,7 @@ def test_heatmap_decode_subpixel():
     np.testing.assert_allclose(preds[0, 1], [40.5, 10.25])
 
 
+@pytest.mark.slow
 def test_fan_network_and_api():
     net = FAN(n_modules=2, n_landmarks=5, features=32, hg_depth=2)
     x = jnp.zeros((1, 64, 64, 3))

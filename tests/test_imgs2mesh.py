@@ -86,6 +86,7 @@ def test_imgs2mesh_sup_and_unsup_losses():
     assert set(aux2["log_vars"]) == {"pts_consistent_loss", "scale_consistent_loss"}
 
 
+@pytest.mark.slow
 def test_imgs2mesh_state_machine_training(tmp_path):
     bfm = make_synthetic_bfm(n_verts=64)
     ds = SyntheticFaceTupleDataset(n_samples=4, tuplesize=2, image_size=32, bfm=bfm)

@@ -63,6 +63,7 @@ def lerf_setup():
     return fw, ds, batch, params, mstate
 
 
+@pytest.mark.slow
 def test_lerf_loss_and_grads(lerf_setup):
     fw, ds, batch, params, mstate = lerf_setup
     loss, aux = fw.loss_fn(params, mstate, batch, jax.random.PRNGKey(1))
@@ -74,6 +75,7 @@ def test_lerf_loss_and_grads(lerf_setup):
         assert s > 0, net
 
 
+@pytest.mark.slow
 def test_lerf_trains(lerf_setup):
     import optax
 
@@ -107,6 +109,7 @@ def test_lerf_relevancy_inference(lerf_setup):
     assert np.isfinite(np.asarray(out["raw_relevancy"])).all()
 
 
+@pytest.mark.slow
 def test_lerf_hashgrid_field_loss_and_grads():
     """Nerfacto-parity RGB path: proposal sampling + interlevel loss."""
     cfg = dict(CFG, rgb_field_type="hashgrid", N_proposal=16, N_importance=16,

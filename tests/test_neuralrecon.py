@@ -48,6 +48,7 @@ def test_init_and_shapes(batch, fw_and_state):
         assert v.shape[1] == dims[i]
 
 
+@pytest.mark.slow
 def test_loss_finite_and_backprop(batch, fw_and_state):
     fw, params, mstate = fw_and_state
     (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
@@ -76,6 +77,7 @@ def test_scene_reset_zeroes_hidden(batch, fw_and_state):
     assert diff > 0
 
 
+@pytest.mark.slow
 def test_overfit_single_fragment():
     """The flagship sanity check: loss must drop sharply when overfitting one
     fragment (SURVEY.md §7 stage 3)."""
@@ -208,6 +210,7 @@ def block_fw_and_state(block_batch):
     return fw, params, mstate
 
 
+@pytest.mark.slow
 def test_block_mode_shapes_and_masks(block_batch, block_fw_and_state):
     fw, params, mstate = block_fw_and_state
     out, new_state = fw._apply(params, mstate, block_batch)
@@ -222,6 +225,7 @@ def test_block_mode_shapes_and_masks(block_batch, block_fw_and_state):
         assert n_sparse <= maxb * 8 ** 3
 
 
+@pytest.mark.slow
 def test_block_mode_loss_and_grads(block_batch, block_fw_and_state):
     fw, params, mstate = block_fw_and_state
     (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
@@ -235,6 +239,7 @@ def test_block_mode_loss_and_grads(block_batch, block_fw_and_state):
     assert any("unet2" in k and float(jnp.abs(g).sum()) > 0 for k, g in flat.items())
 
 
+@pytest.mark.slow
 def test_block_mode_inactive_hidden_preserved(block_batch, block_fw_and_state):
     """GRU hidden outside the active block set must keep its old value
     (parity: gru_fusion.py:122-150 updates only the current sparse set)."""
@@ -261,6 +266,7 @@ def test_block_mode_inactive_hidden_preserved(block_batch, block_fw_and_state):
             f"level {i}: hidden changed outside active blocks"
 
 
+@pytest.mark.slow
 def test_block_mode_forward_test(block_batch, block_fw_and_state):
     fw, params, mstate = block_fw_and_state
     out, new_state = jax.jit(fw.forward_test)(params, mstate, block_batch)
@@ -273,6 +279,7 @@ def test_block_mode_forward_test(block_batch, block_fw_and_state):
 
 # ---- scene-scale global hidden extent (VERDICT r2 weak #5) -----------------
 
+@pytest.mark.slow
 def test_global_dims_disjoint_windows_and_clamp_warning():
     """Two fragments 5 m apart must read/write DISJOINT global-hidden
     windows when GLOBAL_DIMS covers the scene, and the host-side check must

@@ -35,6 +35,7 @@ def test_prnet_shapes_and_loss(prnet, rng):
     assert out["kpt"].shape == (2, 3, 68)
 
 
+@pytest.mark.slow
 def test_prnet_learns(prnet, rng):
     import optax
 

@@ -190,6 +190,7 @@ def _torch_mnasnet_trunk(rs):
     return torch, trunk
 
 
+@pytest.mark.slow
 def test_import_mnasnet_trunk_forward_parity():
     """BN folding + torch padding reproduce the torch trunk stage-by-stage."""
     from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
@@ -221,6 +222,7 @@ def test_import_mnasnet_trunk_forward_parity():
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
 
 
+@pytest.mark.slow
 def test_import_mnasnet_rejects_bad_shape():
     from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
     from deep3dmap_tpu.utils.torch_import import import_mnasnet_trunk

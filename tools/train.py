@@ -94,6 +94,14 @@ def main():
     runner.register_training_hooks(
         checkpoint_config=cfg.get("checkpoint_config"),
         log_config=cfg.get("log_config"))
+    for hook_cfg in cfg.get("custom_hooks", []):
+        runner.register_hook_from_cfg(dict(hook_cfg))
+    # elastic supervisor liveness beacon (tools/run_elastic.py sets this)
+    hb = os.environ.get("D3M_HEARTBEAT_FILE")
+    if hb:
+        runner.register_hook_from_cfg(dict(
+            type="HeartbeatHook", path=hb,
+            interval=int(os.environ.get("D3M_HEARTBEAT_INTERVAL", "10"))))
 
     if args.resume_from:
         runner.resume(None if args.resume_from == "auto" else args.resume_from)
