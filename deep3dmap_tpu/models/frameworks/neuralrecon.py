@@ -396,6 +396,10 @@ class NeuralRecon(BaseFramework):
         self.global_dims = tuple(cfg.get("GLOBAL_DIMS",
                                          [self.n_vox // 2 ** (self.n_layers - 1 - s)
                                           for s in range(self.n_layers)]))
+        # recurrent hidden STORAGE dtype: bf16 halves the dominant GRU-fusion
+        # HBM traffic (the hidden volumes are the biggest recurrent arrays);
+        # gates/updates still compute in the GRU's own dtype
+        self.global_dtype = cfg.get("GLOBAL_DTYPE")
         self.test_cfg = test_cfg
 
         self.net = NeuralReconNet(
@@ -527,8 +531,9 @@ class NeuralRecon(BaseFramework):
         B = batch["imgs"].shape[0]
         model_state = {}
         if self.fusion_on:
+            gdt = jnp.dtype(self.global_dtype) if self.global_dtype else jnp.float32
             model_state["global_hidden"] = init_global_volumes(
-                B, self.global_dims, self.out_channels)
+                B, self.global_dims, self.out_channels, dtype=gdt)
         hidden = self._read_hidden(model_state, batch) if self.fusion_on else None
         # jit the init: eager flax init would run op-by-op (prohibitive over a
         # remote-TPU tunnel and slow everywhere)
