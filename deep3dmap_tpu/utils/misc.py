@@ -18,5 +18,32 @@ def maybe_force_platform():
     n = os.environ.get("D3M_NUM_DEVICES")
     if n and plat == "cpu":
         jax.config.update("jax_num_cpu_devices", int(n))
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           machine_cache_dir("/tmp/jax_test_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
+
+
+def machine_cache_dir(prefix: str) -> str:
+    """Per-machine compilation-cache path.
+
+    A cache dir shared across machines (e.g. /tmp surviving a container
+    migration) serves XLA:CPU AOT executables compiled for a DIFFERENT
+    host's CPU features — observed here as cpu_aot_loader feature-mismatch
+    warnings, phantom sub-millisecond timings and potential SIGILL.  Keying
+    the path by a fingerprint of the host's CPU flags makes stale entries
+    unreachable instead of dangerous."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                fp = "generic"
+    except OSError:
+        import platform
+
+        fp = hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+    return f"{prefix}_{fp}"

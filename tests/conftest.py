@@ -14,7 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+from deep3dmap_tpu.utils.misc import machine_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  machine_cache_dir("/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -161,7 +161,8 @@ def test_run_elastic_restarts_after_crash(tmp_path):
     cfg.write_text(CRASH_CFG)
     env = dict(os.environ)
     env["D3M_PLATFORM"] = "cpu"
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    from deep3dmap_tpu.utils.misc import machine_cache_dir
+    env["JAX_COMPILATION_CACHE_DIR"] = machine_cache_dir("/tmp/jax_test_cache")
     env.pop("XLA_FLAGS", None)
     hb = tmp_path / "hb.json"
     r = subprocess.run(

@@ -25,7 +25,8 @@ def _run_train(cfg, tmp_path, options, max_epochs="1"):
     # the axon TPU plugin ignores JAX_PLATFORMS; tools/train.py honors
     # D3M_PLATFORM via maybe_force_platform() before backends initialize
     env["D3M_PLATFORM"] = "cpu"
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    from deep3dmap_tpu.utils.misc import machine_cache_dir
+    env["JAX_COMPILATION_CACHE_DIR"] = machine_cache_dir("/tmp/jax_test_cache")
     env.pop("XLA_FLAGS", None)
     cmd = [sys.executable, osp.join(REPO, "tools", "train.py"),
            osp.join(REPO, cfg), "--work-dir", str(tmp_path / "work"),

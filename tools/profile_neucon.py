@@ -19,7 +19,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+from deep3dmap_tpu.utils.misc import machine_cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      machine_cache_dir("/tmp/jax_bench_cache"))
 
 import jax
 import jax.numpy as jnp
