@@ -21,8 +21,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deep3dmap_tpu.utils.misc import machine_cache_dir
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      machine_cache_dir("/tmp/jax_bench_cache"))
+
+def _enable_compile_cache():
+    # must go through jax.config: under axon, jax is imported at interpreter
+    # start, so JAX_COMPILATION_CACHE_DIR set here would be ignored
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                      or machine_cache_dir("/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_KEYFRAMES_PER_S = 33.0
 
@@ -102,6 +110,8 @@ def _cost_of(fn, *args):
 
 def main():
     import jax
+
+    _enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax
