@@ -126,10 +126,16 @@ def main():
         N_LAYER=3, N_VOX=[96, 96, 96], VOXEL_SIZE=0.04,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
         FUSION=dict(FUSION_ON=True, FULL=True), LW=[1.0, 0.8, 0.64],
-        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5, BACKBONE2D=dict(ARC="fpn-mnas-1"),
+        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5,
         # block-sparse fine levels: compute scales with occupancy like the
         # reference's sparse conv, but every matmul stays dense on the MXU
-        SPARSE_MODE="block", BLOCK_SIZE=8)
+        SPARSE_MODE="block", BLOCK_SIZE=8,
+        # bf16 on the bandwidth-bound paths (r4 chip A/B, PROFILE_r04.md):
+        # recurrent hidden volumes, block UNet/GRU compute, and the 2D trunk
+        # — params/accumulation stay fp32.  Together: infer 41.4->30.8 ms,
+        # train 156->126 ms on v5e
+        GLOBAL_DTYPE="bfloat16", BLOCK_DTYPE="bfloat16",
+        BACKBONE2D=dict(ARC="fpn-mnas-1", DTYPE="bfloat16"))
     fw = NeuralRecon(model_cfgs)
 
     sample = make_fragment_sample(seed=0, n_views=n_views, img_size=(480, 640),
@@ -196,6 +202,72 @@ def main():
     train_flops, train_bytes = _cost_of(one_step, params, opt_state, mstate,
                                         rng0, batch)
 
+    # ---- streaming-input training: fresh batch per step ------------------
+    # pays real per-step input cost (host batch -> shard_batch -> async H2D
+    # via prefetch_to_device) instead of a pinned device batch; the ratio to
+    # the pinned rate shows whether the input pipeline can starve the chip
+    streaming_ratio = None
+    streaming_kf_per_s = None
+    try:
+        from deep3dmap_tpu.datasets.builder import prefetch_to_device
+        from deep3dmap_tpu.parallel.mesh import make_mesh
+
+        mesh1 = make_mesh()
+        host_batches = [_stack_samples([make_fragment_sample(
+            seed=100 + s, n_views=n_views, img_size=(480, 640), n_vox=96,
+            voxel_size=0.04)]) for s in range(4)]
+        step_once = jax.jit(one_step)
+        carry = (params, opt_state, mstate, rng0)
+        for devb in prefetch_to_device(host_batches, mesh1):   # warm compile
+            p, o, m, r, _ = step_once(*carry, devb)
+            carry = (p, o, m, r)
+        jax.block_until_ready(carry[0])
+        n_stream = 12
+        t0 = time.perf_counter()
+        for devb in prefetch_to_device(
+                (host_batches[i % 4] for i in range(n_stream)), mesh1):
+            p, o, m, r, _ = step_once(*carry, devb)
+            carry = (p, o, m, r)
+        jax.block_until_ready(carry[0])
+        stream_dt = (time.perf_counter() - t0) / n_stream
+        streaming_kf_per_s = n_views / stream_dt
+        streaming_ratio = streaming_kf_per_s / train_kf_per_s
+    except Exception:
+        pass
+
+    # ---- measured utilization from a device trace ------------------------
+    # XLA cost-analysis "bytes accessed" double-counts reuse (r3: >100% of
+    # physical HBM BW); the profiler's per-op measured BW x self-time is the
+    # traffic the HBM actually served, so utilization here cannot exceed 1
+    measured = {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from trace_profile import capture_trace, parse_hlo_stats, summarize
+        import tempfile
+
+        peak = _chip_peak_flops(jax.devices()[0])
+        peak_bw = _chip_peak_bw(jax.devices()[0])
+        for name, fn, fargs, trips, wall in (
+                ("infer", stream, (params, mstate, batch), iters, infer_dt),
+                ("train", train_stream,
+                 (params, opt_state, mstate, rng0, batch), train_iters,
+                 train_dt)):
+            compiled = jax.jit(fn).lower(*fargs).compile()
+            jax.block_until_ready(compiled(*fargs))
+            paths = capture_trace(compiled, fargs,
+                                  tempfile.mkdtemp(prefix="d3m_bench_tr_"),
+                                  warm=False)
+            s = summarize(parse_hlo_stats(paths), trips, wall, peak_bw, peak)
+            measured[f"measured_{name}_hbm_bw_util"] = round(
+                s["bw_util_wall"], 4) if s["bw_util_wall"] else None
+            measured[f"measured_{name}_gib_per_step"] = round(
+                s["bytes_per_step"] / 2 ** 30, 3)
+            measured[f"{name}_device_busy_frac"] = round(
+                s["busy_ms_per_step"] / s["step_wall_ms"], 3)
+    except Exception:
+        pass
+
     peak = _chip_peak_flops(jax.devices()[0])
     peak_bw = _chip_peak_bw(jax.devices()[0])
     mfu = (train_flops / train_dt / peak) if (peak and train_flops > 0) else None
@@ -216,8 +288,15 @@ def main():
         "chip_peak_bf16_flops": peak or None,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "infer_mfu": round(infer_mfu, 4) if infer_mfu is not None else None,
-        "hbm_bw_util": round(bwu, 4) if bwu is not None else None,
-        "infer_hbm_bw_util": round(infer_bwu, 4) if infer_bwu is not None else None,
+        # cost-analysis BW figures (over-count reuse; kept for r3 continuity,
+        # clearly labeled) — trust the measured_* fields below instead
+        "xla_cost_hbm_bw_util": round(bwu, 4) if bwu is not None else None,
+        "xla_cost_infer_hbm_bw_util": round(infer_bwu, 4) if infer_bwu is not None else None,
+        "train_streaming_kf_per_s": round(streaming_kf_per_s, 2)
+        if streaming_kf_per_s else None,
+        "train_streaming_vs_pinned": round(streaming_ratio, 3)
+        if streaming_ratio else None,
+        **measured,
     }))
 
 

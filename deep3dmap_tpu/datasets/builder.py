@@ -48,16 +48,29 @@ def build_dataset(cfg, default_args=None):
 
 
 class NumpyLoader:
-    """Batches a map-style dataset of dict samples into stacked numpy arrays."""
+    """Batches a map-style dataset of dict samples into stacked numpy arrays.
+
+    With ``num_workers > 0`` batches are built by a worker thread pool ahead
+    of consumption (up to ``num_workers * prefetch_factor`` in flight,
+    yielded in order) — the TPU-native counterpart of the reference's torch
+    DataLoader worker processes (/root/reference/deep3dmap/datasets/
+    builder.py:84-151).  Threads rather than processes: the hot per-sample
+    work (jpeg decode, cv2/numpy transforms) releases the GIL, workers see
+    the live dataset object (no pickling), and the consumer is a jitted TPU
+    step that leaves the host mostly idle.
+    """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = True, sampler=None):
+                 seed: int = 0, drop_last: bool = True, sampler=None,
+                 num_workers: int = 0, prefetch_factor: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.sampler = sampler
+        self.num_workers = num_workers
+        self.prefetch_factor = max(1, prefetch_factor)
         self.epoch = 0
 
     def _num_indices(self):
@@ -69,7 +82,7 @@ class NumpyLoader:
             n += 1
         return n
 
-    def __iter__(self):
+    def _epoch_indices(self):
         if self.sampler is not None:
             if hasattr(self.sampler, "set_epoch"):
                 self.sampler.set_epoch(self.epoch)
@@ -80,10 +93,37 @@ class NumpyLoader:
                 rs = np.random.RandomState(self.seed + self.epoch)
                 rs.shuffle(idx)
         self.epoch += 1
-        for start in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
-                           self.batch_size):
-            samples = [self.dataset[int(i)] for i in idx[start:start + self.batch_size]]
-            yield _stack_samples(samples)
+        return idx
+
+    def _build(self, indices):
+        return _stack_samples([self.dataset[int(i)] for i in indices])
+
+    def __iter__(self):
+        idx = self._epoch_indices()
+        starts = range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
+                       self.batch_size)
+        slices = [idx[s:s + self.batch_size] for s in starts]
+        if self.num_workers <= 0:
+            for sl in slices:
+                yield self._build(sl)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = self.num_workers * self.prefetch_factor
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = deque()
+            it = iter(slices)
+            for sl in it:
+                pending.append(pool.submit(self._build, sl))
+                if len(pending) >= depth:
+                    break
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._build, nxt))
+                yield batch
 
 
 def _stack_samples(samples):
@@ -101,11 +141,48 @@ def _stack_samples(samples):
     return out
 
 
+def prefetch_to_device(iterable, mesh, depth: int = 2, axis: str = "data",
+                       host_check=None):
+    """Overlap host batch building and host->device transfer with the step.
+
+    Wraps a host batch iterator: pulls ``depth`` batches ahead, runs the
+    optional ``host_check`` callback on the host values, and starts their
+    (asynchronous) ``shard_batch`` device placement immediately — so batch
+    N+1 uploads while the jitted step for batch N runs.  The reference gets
+    this overlap from torch DataLoader workers + CUDA async H2D; on TPU,
+    ``jax.device_put`` is itself asynchronous, so a lookahead deque is all
+    that is needed (SURVEY.md §5.8 "host-side prefetch pipeline feeding
+    device buffers").
+    """
+    from collections import deque
+
+    from ..parallel.mesh import shard_batch
+
+    def put(batch):
+        if host_check is not None:
+            host_check(batch)
+        return shard_batch(batch, mesh, axis=axis)
+
+    buf = deque()
+    it = iter(iterable)
+    for batch in it:
+        buf.append(put(batch))
+        if len(buf) >= max(1, depth):
+            break
+    while buf:
+        ready = buf.popleft()
+        nxt = next(it, None)
+        if nxt is not None:
+            buf.append(put(nxt))
+        yield ready
+
+
 def build_dataloader(dataset, samples_per_gpu: int = 1, workers_per_gpu: int = 0,
                      num_gpus: int = 1, dist: bool = False, shuffle: bool = True,
                      seed: Optional[int] = None, **kwargs) -> NumpyLoader:
     """Signature-compatible front for the reference's build_dataloader
-    (datasets/builder.py:84).  samples_per_gpu * num_gpus = global batch.
+    (datasets/builder.py:84).  samples_per_gpu * num_gpus = global batch;
+    workers_per_gpu sizes the loader's worker thread pool.
     Datasets that already yield batches (iterable, no __getitem__ — e.g. the
     LERF ray datamanager or push-style async datasets) pass through as-is."""
     if not hasattr(dataset, "__getitem__") and hasattr(dataset, "__iter__"):
@@ -129,4 +206,5 @@ def build_dataloader(dataset, samples_per_gpu: int = 1, workers_per_gpu: int = 0
     batch = samples_per_gpu * (1 if dist else num_gpus)
     return NumpyLoader(dataset, batch_size=batch,
                        shuffle=shuffle and sampler is None, seed=seed or 0,
-                       sampler=sampler)
+                       sampler=sampler, num_workers=workers_per_gpu,
+                       prefetch_factor=kwargs.get("prefetch_factor", 2))

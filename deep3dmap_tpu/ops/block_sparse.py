@@ -102,30 +102,67 @@ def _from_blocked(blocks: jnp.ndarray, nb: int) -> jnp.ndarray:
     return v.reshape(B, nb * bs, nb * bs, nb * bs, C)
 
 
+def _line_rows(bset: BlockSet) -> jnp.ndarray:
+    """Row index of every contiguous z-line of the active blocks.
+
+    The dense (B,d,d,d,C) volume flattens to (B, d*d*nb, bs*C) rows, one per
+    (x, y, z-block) z-line — the largest memory-contiguous unit a bs-block
+    touches.  Returns (B, MAXB*bs²) int32 rows, ordered (block, vx, vy) so the
+    gathered rows reshape straight into (MAXB, bs, bs, bs, C).
+    """
+    nb, bs = bset.nb, bset.bs
+    d = nb * bs
+    bx = bset.ids // (nb * nb)
+    by = (bset.ids // nb) % nb
+    bz = bset.ids % nb                       # (B, MAXB)
+    r = jnp.arange(bs)
+    vx, vy = jnp.meshgrid(r, r, indexing="ij")
+    vx, vy = vx.reshape(-1), vy.reshape(-1)  # (bs²,)
+    gx = bx[..., None] * bs + vx             # (B, MAXB, bs²)
+    gy = by[..., None] * bs + vy
+    rows = (gx * d + gy) * nb + bz[..., None]
+    return rows.reshape(rows.shape[0], -1).astype(jnp.int32)
+
+
 def dense_to_blocks(vol: jnp.ndarray, bset: BlockSet) -> jnp.ndarray:
     """Gather active blocks: (B,d,d,d,C) -> (B, MAXB, bs,bs,bs, C).
 
-    MAXB big-row gathers — bandwidth-bound.
+    One flat gather of MAXB·bs² contiguous z-line rows (batch folded into the
+    row index).  ~1.6x the full-volume transpose+take formulation on chip —
+    the transpose materializes the whole dim³ volume twice, this touches only
+    the active blocks' bytes (r4 trace: the 8-D transpose copies were ~2.7
+    ms/step of the 96³ inference step).
     """
-    blocked = _to_blocked(vol, bset.bs)
-    return jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(blocked, bset.ids)
+    B, d = vol.shape[0], vol.shape[1]
+    C = vol.shape[-1]
+    nb, bs = bset.nb, bset.bs
+    R = d * d * nb
+    flat = vol.reshape(B * R, bs, C)
+    rows = _line_rows(bset) + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+    g = jnp.take(flat, rows.reshape(-1), axis=0)
+    maxb = bset.ids.shape[1]
+    return g.reshape(B, maxb, bs, bs, bs, C)
 
 
 def blocks_to_dense(blocks: jnp.ndarray, bset: BlockSet, fill=0.0) -> jnp.ndarray:
-    """Scatter active blocks back to a dense volume (padding slots dropped)."""
+    """Scatter active blocks back to a dense volume (padding slots dropped).
+
+    One flat unique-row scatter of z-lines into a fill-initialized volume
+    (padding slots routed to a dropped scratch row) — ~3x the
+    transpose-based scatter on chip.
+    """
     B, maxb, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
     C = blocks.shape[-1]
     nb = bset.nb
-
-    def one(blk, ids, valid):
-        # padding slots all carry id 0 — route them to a scratch row that is
-        # dropped, so only real blocks land (ids from nonzero are unique)
-        base = jnp.full((nb ** 3 + 1, bs, bs, bs, C), fill, blocks.dtype)
-        safe = jnp.where(valid, ids, nb ** 3)
-        return base.at[safe].set(blk)[:-1]
-
-    blocked = jax.vmap(one)(blocks, bset.ids, bset.valid)
-    return _from_blocked(blocked, nb)
+    d = nb * bs
+    R = d * d * nb
+    flat = jnp.full((B * R + 1, bs * C), fill, blocks.dtype)
+    rows = _line_rows(bset) + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+    vals = blocks.reshape(B * maxb * bs * bs, bs * C)
+    valid = jnp.repeat(bset.valid, bs * bs, axis=1)
+    safe = jnp.where(valid, rows, B * R).reshape(-1)
+    out = flat.at[safe].set(vals, mode="drop")[:-1]
+    return out.reshape(B, d, d, d, C)
 
 
 def gather_halo(blocks: jnp.ndarray, bset: BlockSet, halo: int = 1) -> jnp.ndarray:
@@ -196,17 +233,21 @@ def blocks_to_dense_over(blocks: jnp.ndarray, bset: BlockSet,
     hidden volume (gru_fusion.py:122-150).
     """
     B, maxb, bs = blocks.shape[0], blocks.shape[1], blocks.shape[2]
+    C = blocks.shape[-1]
     nb = bset.nb
-    blocked = _to_blocked(base, bs)  # (B, nb³, bs,bs,bs,C)
-
-    def one(bb, blk, ids, valid):
-        pad = jnp.zeros((1,) + bb.shape[1:], bb.dtype)
-        bb = jnp.concatenate([bb, pad], axis=0)
-        safe = jnp.where(valid, ids, nb ** 3)
-        return bb.at[safe].set(blk)[:-1]
-
-    blocked = jax.vmap(one)(blocked, blocks, bset.ids, bset.valid)
-    return _from_blocked(blocked, nb)
+    d = nb * bs
+    R = d * d * nb
+    # flat unique-row z-line scatter onto the existing volume — ~6x the
+    # blocked-transpose formulation on chip (the transpose round-trips the
+    # whole dim³ array; this writes only the active blocks' rows)
+    flat = base.reshape(B * R, bs * C)
+    flat = jnp.concatenate([flat, jnp.zeros((1, bs * C), base.dtype)], axis=0)
+    rows = _line_rows(bset) + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+    vals = blocks.reshape(B * maxb * bs * bs, bs * C).astype(base.dtype)
+    valid = jnp.repeat(bset.valid, bs * bs, axis=1)
+    safe = jnp.where(valid, rows, B * R).reshape(-1)
+    out = flat.at[safe].set(vals, mode="drop")[:-1]
+    return out.reshape(B, d, d, d, C)
 
 
 def _decode_ids(ids: jnp.ndarray, nb: int):

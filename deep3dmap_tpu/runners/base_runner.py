@@ -193,11 +193,27 @@ class BaseRunner:
     def run(self, data_loaders, workflow, **kwargs):
         raise NotImplementedError
 
+    def _is_on_device(self, data_batch):
+        leaves = jax.tree_util.tree_leaves(data_batch)
+        return bool(leaves) and all(isinstance(l, jax.Array) for l in leaves)
+
+    def prefetch(self, loader, depth: int = 2):
+        """Device-prefetching view of a host loader: batch N+1's host build,
+        host checks and async H2D upload overlap step N (SURVEY §5.8)."""
+        from ..datasets.builder import prefetch_to_device
+
+        return prefetch_to_device(
+            loader, self.mesh, depth=depth,
+            host_check=getattr(self.framework, "host_check_batch", None))
+
     def run_iter(self, data_batch):
-        check = getattr(self.framework, "host_check_batch", None)
-        if check is not None:
-            check(data_batch)
-        batch = shard_batch(data_batch, self.mesh)
+        if self._is_on_device(data_batch):
+            batch = data_batch  # arrived via prefetch(): checked + sharded
+        else:
+            check = getattr(self.framework, "host_check_batch", None)
+            if check is not None:
+                check(data_batch)
+            batch = shard_batch(data_batch, self.mesh)
         self.state, log_vars = self.train_step_fn(self.state, batch)
         self.log_buffer.update({k: float(jax.device_get(v)) for k, v in log_vars.items()})
         return log_vars

@@ -16,7 +16,7 @@ class EpochBasedRunner(BaseRunner):
         self.mode = "train"
         self.cur_loader = data_loader
         self.call_hook("before_train_epoch")
-        for i, data_batch in enumerate(data_loader):
+        for i, data_batch in enumerate(self.prefetch(data_loader)):
             self.inner_iter = i
             self.call_hook("before_train_iter")
             self.run_iter(data_batch)

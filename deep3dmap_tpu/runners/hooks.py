@@ -162,10 +162,10 @@ class CheckpointHook(Hook):
         self.max_keep_ckpts = max_keep_ckpts
         self.save_last = save_last
 
-    def _save(self, runner):
+    def _save(self, runner, completed_iters):
         from .checkpoint import save_checkpoint
         save_checkpoint(runner.work_dir, runner.state,
-                        meta=dict(epoch=runner.epoch + 1, iter=runner.iter + 1),
+                        meta=dict(epoch=runner.epoch + 1, iter=completed_iters),
                         max_keep=self.max_keep_ckpts)
         runner.logger.info(f"Saved checkpoint at epoch {runner.epoch + 1} "
                            f"(step {int(runner.state.step)})")
@@ -174,13 +174,15 @@ class CheckpointHook(Hook):
         if not self.by_epoch:
             return
         if self.every_n_epochs(runner, self.interval) or (self.save_last and self.is_last_epoch(runner)):
-            self._save(runner)
+            # the epoch loop has already counted its last run_iter
+            self._save(runner, runner.iter)
 
     def after_train_iter(self, runner):
         if self.by_epoch:
             return
         if self.every_n_iters(runner, self.interval) or (self.save_last and self.is_last_iter(runner)):
-            self._save(runner)
+            # after_train_iter fires before the loop's `iter += 1`
+            self._save(runner, runner.iter + 1)
 
 
 @HOOKS.register_module()

@@ -11,11 +11,14 @@ from .builder import RUNNERS
 
 class IterLoader:
     """Endless iterator over a loader; counts epochs (parity:
-    iter_based_runner.py:47 IterLoader)."""
+    iter_based_runner.py:47 IterLoader).  ``wrap`` (e.g. the runner's
+    device-prefetcher) re-wraps the loader at each epoch restart so batches
+    keep streaming ahead across epoch boundaries."""
 
-    def __init__(self, loader):
+    def __init__(self, loader, wrap=None):
         self._loader = loader
-        self._iter = iter(loader)
+        self._wrap = wrap if wrap is not None else (lambda l: l)
+        self._iter = iter(self._wrap(loader))
         self._epoch = 0
 
     @property
@@ -30,7 +33,7 @@ class IterLoader:
             return next(self._iter)
         except StopIteration:
             self._epoch += 1
-            self._iter = iter(self._loader)
+            self._iter = iter(self._wrap(self._loader))
             return next(self._iter)
 
 
@@ -42,7 +45,7 @@ class IterBasedRunner(BaseRunner):
         assert self._max_iters is not None, "max_iters must be set"
         if not isinstance(data_loaders, (list, tuple)):
             data_loaders = [data_loaders]
-        iter_loaders = [IterLoader(dl) for dl in data_loaders]
+        iter_loaders = [IterLoader(dl, wrap=self.prefetch) for dl in data_loaders]
 
         self.call_hook("before_run")
         self.cur_loader = data_loaders[0]

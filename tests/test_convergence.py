@@ -280,3 +280,173 @@ def test_lerf_hashgrid_psnr_ge_mlp_at_equal_steps():
     psnr_hash = train_and_psnr(hash_cfg)
     # equal-or-better (small tolerance for run-to-run jitter)
     assert psnr_hash >= psnr_mlp - 0.25, (psnr_mlp, psnr_hash)
+
+
+# ---------------------------------------------------------------------------
+# Gan2Shape step 2: GAN latent projection reconstructs its target
+# (ref gan2shape.py:537-587 — encoder offsets project images into W space)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_gan2shape_step2_projection_converges():
+    """With the frozen toy generator, a target image generated FROM a known
+    latent w* is projected back: optimizing the encoder head through
+    ``gan_invert`` (the core of forward_step2) must (a) drop image L1 to the
+    target materially and (b) move the recovered latent toward w*."""
+    from deep3dmap_tpu.models.frameworks.gan2shape import Gan2Shape
+
+    S = 32
+    cfg = dict(image_size=S, gan_size=S, z_dim=24, n_mlp=2, nf=8,
+               channel_multiplier=1, lam_perc=0.0, lam_regular=0.0)
+    fw = Gan2Shape(cfg)
+    batch = dict(input_im=jnp.zeros((1, S, S, 3)))
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+
+    # target from a known latent offset around the W center
+    w_center = mstate["center_w"]
+    delta = 0.6 * jax.random.normal(jax.random.PRNGKey(1), w_center.shape)
+    w_gt = w_center + delta
+    noise_rng = jax.random.PRNGKey(2)  # same noise for target and inversion
+    target = jnp.clip(fw.generator.apply(
+        {"params": mstate["gan_params"]}, w_gt, input_is_latent=True,
+        rngs={"noise": noise_rng}), -1, 1)
+
+    def objective(params):
+        proj, offset = fw.gan_invert(params, mstate, target, w_center,
+                                     noise_rng)
+        l1 = jnp.abs(proj - target).mean()
+        _, latent = fw.latent_project(params, mstate, target, w_center)
+        lat_err = jnp.sqrt(((latent - w_gt) ** 2).mean())
+        return l1, lat_err
+
+    tx = optax.adam(2e-3)
+    opt = tx.init(params["encoder_head"])
+
+    def step(carry, _):
+        params, opt = carry
+
+        def loss_for(enc):
+            p = dict(params, encoder_head=enc)
+            l1, _ = objective(p)
+            return l1
+
+        loss, g = jax.value_and_grad(loss_for)(params["encoder_head"])
+        u, opt = tx.update(g, opt, params["encoder_head"])
+        params = dict(params,
+                      encoder_head=optax.apply_updates(params["encoder_head"], u))
+        return (params, opt), loss
+
+    l1_0, lat_0 = map(float, objective(params))
+    run = jax.jit(lambda c: jax.lax.scan(step, c, None, length=400))
+    (params2, _), losses = run((params, opt))
+    assert np.isfinite(np.asarray(losses)).all()
+
+    l1_1, lat_1 = map(float, objective(params2))
+    assert l1_1 < 0.5 * l1_0, f"projection L1 {l1_0:.4f} -> {l1_1:.4f}"
+    assert lat_1 < 0.7 * lat_0, f"latent err {lat_0:.4f} -> {lat_1:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# Gan2Shape step 3: joint refinement on projected samples improves depth
+# beyond step1 (ref gan2shape.py:619-694; eval metrics :918-943)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_gan2shape_step3_improves_depth_beyond_step1():
+    """Stage loop on the step1 toy instance: after step1-only training, run
+    forward_step3 with projected samples on the TRUE image manifold (pseudo
+    samples relit from the GT canon — the fixed point a converged GAN
+    projection supplies, emulating steps 2's output; the toy random-init GAN
+    itself carries no face prior to project onto).  The multi-light samples
+    break step1's bas-relief sign ambiguity: SIDE must drop materially and
+    the signed depth correlation must come out positive."""
+    from deep3dmap_tpu.core.renderer.renderer_nr import get_transform_matrices
+    from deep3dmap_tpu.models.frameworks.gan2shape import Gan2Shape
+
+    S = 32
+    cfg = dict(image_size=S, gan_size=S, z_dim=16, n_mlp=2, nf=8,
+               channel_multiplier=1, lam_perc=0.0, lam_smooth=0.005,
+               batchsize=6, rand_light=[-1, 1, -0.2, 0.8, -0.1, 0.6, -0.6])
+    fw = Gan2Shape(cfg)
+
+    rs = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, S), np.linspace(-1, 1, S),
+                         indexing="ij")
+    bump = np.exp(-((xx + 0.1) ** 2 + (yy - 0.05) ** 2) / 0.18)
+    depth_gt = jnp.asarray((1.08 - 0.16 * bump)[None].astype(np.float32))
+    albedo_gt = jnp.zeros((1, S, S, 3), jnp.float32)
+    light_gt = jnp.asarray([[0.2, 0.6, 0.25, 0.15]])
+    la, lb, ld = fw._light_terms(light_gt)
+    normal_gt = fw.renderer.get_normal_from_depth(depth_gt)
+    texture, _ = fw._shade(albedo_gt, normal_gt, la, lb, ld)
+    rot, trans = get_transform_matrices(jnp.zeros((1, 6)))
+    recon_depth = fw.renderer.warp_canon_depth(depth_gt, rot, trans)
+    grid = fw.renderer.get_inv_warped_2d_grid(recon_depth, rot, trans)
+    im = jnp.clip(fw.renderer._grid_sample_images(texture, grid), -1, 1)
+
+    batch = dict(input_im=im)
+    params, mstate = fw.init(jax.random.PRNGKey(1), batch)
+    heads = ["depth_head", "view_head", "light_head"]  # albedo frozen (gray)
+
+    inner = (slice(None), slice(4, S - 4), slice(4, S - 4))
+
+    def depth_metrics(params):
+        d, *_ = fw._predict_canonical(params, im)
+        d = np.asarray(d)[inner].ravel()
+        g = np.asarray(depth_gt)[inner].ravel()
+        corr = float(np.corrcoef(d, g)[0, 1])
+        logd = np.log(d) - np.log(g)
+        side = float(np.sqrt(np.mean(logd ** 2) - np.mean(logd) ** 2))
+        mad = float(np.mean(np.abs(d - g)))
+        return corr, side, mad
+
+    tx = optax.adam(2e-3)
+
+    def make_run(loss_batch, mode):
+        opt = {k: tx.init(params[k]) for k in heads}
+
+        def step(carry, rng):
+            ps, opt = carry
+
+            def loss_for(p):
+                if mode == "step1":
+                    total, _, _ = fw.forward_step1(p, mstate, loss_batch, rng)
+                else:
+                    total, _, _ = fw.forward_step3(p, mstate, loss_batch, rng)
+                return total
+
+            loss, g = jax.value_and_grad(loss_for)(ps)
+            ps = dict(ps)
+            for k in heads:
+                u, opt[k] = tx.update(g[k], opt[k], ps[k])
+                ps[k] = optax.apply_updates(ps[k], u)
+            return (ps, dict(opt)), loss
+
+        return step, opt
+
+    # ---- phase 1: step1 only ----
+    step1, opt1 = make_run(batch, "step1")
+    keys = jax.random.split(jax.random.PRNGKey(5), 300)
+    run1 = jax.jit(lambda c, ks: jax.lax.scan(step1, c, ks))
+    (params1, _), losses1 = run1((params, opt1), keys)
+    assert np.isfinite(np.asarray(losses1)).all()
+    corr1, side1, mad1 = depth_metrics(params1)
+
+    # ---- phase 2: step3 on ideal projected samples (GT-manifold relights) --
+    canon_gt = dict(depth=depth_gt, albedo=albedo_gt, normal=normal_gt,
+                    light=light_gt)
+    pseudo, mask = fw.sample_pseudo_imgs(jax.random.PRNGKey(9), canon_gt,
+                                         cfg["batchsize"])
+    batch3 = dict(input_im=im, proj_im=pseudo, proj_mask=mask)
+    step3, opt3 = make_run(batch3, "step3")
+    keys3 = jax.random.split(jax.random.PRNGKey(6), 300)
+    run3 = jax.jit(lambda c, ks: jax.lax.scan(step3, c, ks))
+    (params3, _), losses3 = run3((params1, opt3), keys3)
+    assert np.isfinite(np.asarray(losses3)).all()
+    corr3, side3, mad3 = depth_metrics(params3)
+
+    # multi-light projections must materially improve depth vs step1-only
+    assert side3 < side1 * 0.9, \
+        f"SIDE step1 {side1:.4f} -> step3 {side3:.4f} (no improvement)"
+    assert corr3 > 0.45 and corr3 > abs(corr1) - 0.1, \
+        f"signed corr step1 {corr1:.3f} -> step3 {corr3:.3f}"

@@ -1,0 +1,134 @@
+"""End-to-end evaluation-CLI regression test (VERDICT r3 Weak #5).
+
+Builds a ScanNet-layout fixture scene (synthetic SDF renderer), generates
+the fragments pkl with the real data-gen tool, writes a GT mesh, then runs
+``tools/test.py`` as a subprocess: inference -> SceneAssembler -> .ply ->
+``ScanNetDataset.evaluate`` -> depth metrics (native rasterizer) + F-score.
+Asserts the mesh is written and the metrics come out finite — the same
+de-facto regression oracle the reference uses
+(/root/reference/tools/test.py:215-438,
+/root/reference/deep3dmap/datasets/scannet.py:157-290).
+"""
+import ast
+import os
+import os.path as osp
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+CONFIG_TMPL = """
+N_VIEWS = 5
+VOXEL_SIZE = 0.08
+N_VOX = 24
+work_dir = {work_dir!r}
+
+pipeline = [
+    dict(type="SeqResizeImage", size=(64, 48), depth_key="depth"),
+    dict(type="SeqRandomTransformSpace", voxel_dim=(N_VOX, N_VOX, N_VOX),
+         voxel_size=VOXEL_SIZE, random_rotation=False,
+         random_translation=False, n_layers=3),
+    dict(type="SeqIntrinsicsPoseToProjection", n_views=N_VIEWS, stride=4),
+    dict(type="SeqNormalizeImages", mean=[127.5] * 3, std=[127.5] * 3),
+]
+
+data = dict(
+    samples_per_gpu=1,
+    test=dict(type="ScanNetDataset", datapath={datapath!r}, mode="test",
+              nviews=N_VIEWS, n_scales=2, img_size=(64, 48), n_vox=N_VOX,
+              voxel_size=VOXEL_SIZE, pipeline=pipeline),
+)
+
+model = dict(
+    type="NeuralRecon",
+    model_cfgs=dict(
+        save_scene=True,
+        N_LAYER=3,
+        N_VOX=[N_VOX, N_VOX, N_VOX],
+        VOXEL_SIZE=VOXEL_SIZE,
+        TRAIN_NUM_SAMPLE=[512, 2048, 8192],
+        BACKBONE2D=dict(ARC="fpn-mnas-0.5"),
+        FUSION=dict(FUSION_ON=True, FULL=True),
+        LW=[1.0, 0.8, 0.64],
+        THRESHOLDS=[0, 0, 0],
+        POS_WEIGHT=1.5,
+    ),
+)
+"""
+
+
+def _write_fixture_scene(root, scene="scene0707_00", n_frames=10):
+    """ScanNet test-split layout + GT mesh from the synthetic SDF scene."""
+    import cv2
+
+    from deep3dmap_tpu.core.utils.io_ply import write_ply
+    from deep3dmap_tpu.core.utils.marching_cubes import tsdf_to_mesh
+    from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
+
+    s = make_fragment_sample(seed=0, n_views=n_frames, img_size=(48, 64),
+                             n_vox=24, voxel_size=0.08)
+    d = osp.join(root, "scans_test", scene)
+    for sub in ("color", "depth", "pose", "intrinsic"):
+        os.makedirs(osp.join(d, sub), exist_ok=True)
+    K4 = np.eye(4)
+    K4[:3, :3] = s["intrinsics"][0]
+    np.savetxt(osp.join(d, "intrinsic", "intrinsic_depth.txt"), K4)
+    for i in range(n_frames):
+        cv2.imwrite(osp.join(d, "color", f"{i}.jpg"),
+                    (s["imgs"][i] * 255).astype(np.uint8))
+        cv2.imwrite(osp.join(d, "depth", f"{i}.png"),
+                    (s["depth"][i] * 1000).astype(np.uint16))
+        np.savetxt(osp.join(d, "pose", f"{i}.txt"), s["extrinsics"][i])
+
+    # GT mesh straight from the fixture's GT TSDF at the finest scale
+    verts, faces = tsdf_to_mesh(np.asarray(s["tsdf_list"][0]),
+                                origin=np.asarray(s["vol_origin"]),
+                                voxel_size=0.08)
+    assert len(verts) > 0
+    write_ply(osp.join(d, f"{scene}_vh_clean_2.ply"), verts, faces)
+    return s
+
+
+@pytest.mark.slow
+def test_eval_cli_end_to_end(tmp_path):
+    root = str(tmp_path / "data")
+    work_dir = str(tmp_path / "work")
+    out_dir = str(tmp_path / "meshes")
+    os.makedirs(root, exist_ok=True)
+    _write_fixture_scene(root)
+
+    env = dict(os.environ, D3M_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/data_gen/scannet.py", "--datapath", root,
+         "--mode", "test", "--n-views", "5", "--min-angle", "1",
+         "--min-distance", "0.01", "--n-proc", "1"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(osp.join(root, "fragments_test.pkl"), "rb") as f:
+        assert len(pickle.load(f)) >= 1
+
+    cfg_path = str(tmp_path / "cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TMPL.format(work_dir=work_dir, datapath=root))
+
+    r = subprocess.run(
+        [sys.executable, "tools/test.py", cfg_path, "--out", out_dir,
+         "--eval", "depth_mesh"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+
+    plys = [f for f in os.listdir(out_dir) if f.endswith(".ply")]
+    assert plys, f"no mesh written to {out_dir}"
+
+    # the CLI prints the evaluate() dict as its last stdout line
+    last = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    results = ast.literal_eval(last)
+    assert "AbsRel" in results and "fscore" in results, results
+    for k in ("AbsRel", "RMSE", "fscore", "prec", "recal"):
+        if k in results:
+            assert np.isfinite(results[k]), (k, results)
+    assert 0.0 <= results["fscore"] <= 1.0

@@ -53,7 +53,23 @@ def main():
 
     framework = build_reconstruction(cfg.model)
     mesh = make_mesh()
-    batch0 = next(iter(loader))
+
+    def split_meta(batch):
+        """Numeric leaves go to the device; strings/objects stay host-side
+        (the reference carries these through DataContainer metadata)."""
+        dev, meta = {}, {}
+        for k, v in batch.items():
+            leaves = jax.tree_util.tree_leaves(v)
+            if leaves and all(
+                    isinstance(l, (int, float, np.number)) or
+                    (isinstance(l, np.ndarray) and l.dtype.kind in "bifuc")
+                    for l in leaves):
+                dev[k] = v
+            else:
+                meta[k] = v
+        return dev, meta
+
+    batch0, _ = split_meta(next(iter(loader)))
     params, mstate = framework.init(jax.random.PRNGKey(0), shard_batch(batch0, mesh))
 
     ckpt = args.checkpoint
@@ -83,20 +99,28 @@ def main():
             save_dir=args.out or osp.join(work_dir, "meshes"))
 
     outputs = {}
-    for i, batch in enumerate(loader):
+    for i, raw in enumerate(loader):
+        batch, meta = split_meta(raw)
         out, mstate = fwd(params, mstate, shard_batch(batch, mesh))
         out = jax.device_get(out)
         for k, v in out.items():
             outputs.setdefault(k, []).append(np.asarray(v))
         if assembler is not None and "tsdf" in out:
-            scenes = batch.get("scene", [f"scene{i}"] * len(out["tsdf"]))
+            scenes = meta.get("scene", batch.get("scene",
+                              [f"scene{i}"] * len(out["tsdf"])))
             for b in range(len(out["tsdf"])):
                 assembler.update(str(scenes[b]), out["tsdf"][b], out["origin"][b])
         logger.info(f"batch {i + 1}/{len(loader)} done")
 
     if assembler is not None:
+        scene_names = list(assembler.scenes)
         paths = assembler.save_all()
         logger.info(f"Saved {len(paths)} scene meshes")
+        # mesh-based ScanNet eval consumes (scene_name, mesh_path) pairs
+        # (datasets/scannet.py:98-121; ref scannet.py:157-290 passes the
+        # saved .ply per scene to the ray workers)
+        outputs["scene_name"] = scene_names
+        outputs["mesh_path"] = paths
 
     if args.eval and hasattr(dataset, "evaluate"):
         results = dataset.evaluate(outputs, metric=args.eval[0])

@@ -1,0 +1,298 @@
+"""Measured-profile cycle: capture a jax.profiler device trace of the
+production NeuralRecon inference and training steps (bench shapes) and derive
+a per-op table of MEASURED time / bytes / boundedness from the trace.
+
+This replaces estimation with measurement: XLA cost-analysis "bytes accessed"
+double-counts reuse (r3: inference BW util computed >100% of physical HBM),
+whereas the trace's per-op `measured_memory_bw x self_time` is what the HBM
+actually moved.  Output: PROFILE_r{N}.md with
+
+  - per-step device-busy time, measured HBM bytes, measured BW utilization
+    (bytes / wall step time / peak BW — cannot exceed 1.0 by construction),
+  - top-K ops by self time with category, measured GiB/s, operational
+    intensity and the profiler's bound_by verdict,
+  - a per-category rollup (where do the milliseconds go).
+
+Methodology: the same compiled scan streams bench.py times (10 inference
+steps / 5 train steps chained through the recurrent state) run once under
+``jax.profiler.trace``; per-op totals divide by the trip count.  Parsing uses
+xprof's hlo_stats tool on the captured ``*.xplane.pb``.
+
+Reference north star: BASELINE.md "kernels must hit speed-of-light per chip";
+harness shape /root/reference/demos/demo_neucon.py:108-115.
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deep3dmap_tpu.utils.misc import machine_cache_dir
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      machine_cache_dir("/tmp/jax_bench_cache"))
+
+
+def capture_trace(fn_compiled, args, trace_dir, warm=True):
+    """Run the compiled fn once under a profiler trace; return xplane paths."""
+    import jax
+
+    if warm:
+        jax.block_until_ready(fn_compiled(*args))
+    jax.profiler.start_trace(trace_dir)
+    try:
+        out = fn_compiled(*args)
+        jax.block_until_ready(out)
+    finally:
+        jax.profiler.stop_trace()
+    return sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                            recursive=True))
+
+
+def parse_hlo_stats(xplane_paths):
+    """hlo_stats rows -> list of dicts with measured per-op figures."""
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(list(xplane_paths), "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    tbl = json.loads(data)
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = []
+    for r in tbl["rows"]:
+        vals = [c.get("v") if isinstance(c, dict) else c for c in r["c"]]
+        rows.append(dict(zip(cols, vals)))
+    return rows
+
+
+def summarize(rows, trip_count, step_wall_s, peak_bw, peak_flops):
+    """Aggregate measured per-op stats into a per-STEP summary."""
+    ops = []
+    for r in rows:
+        self_us = float(r.get("total_self_time") or 0.0)
+        bw_gibs = float(r.get("measured_memory_bw") or 0.0)
+        gflops = float(r.get("model_flop_rate") or 0.0)  # model GFLOP/s
+        ops.append(dict(
+            name=str(r.get("hlo_op_name") or ""),
+            category=str(r.get("category") or ""),
+            occurrences=int(r.get("occurrences") or 0),
+            self_ms=self_us / 1e3,
+            bytes=bw_gibs * (2 ** 30) * (self_us / 1e6),
+            flops=gflops * 1e9 * (self_us / 1e6),
+            op_intensity=float(r.get("operational_intensity") or 0.0),
+            bound_by=str(r.get("bound_by") or ""),
+            bw_gibs=bw_gibs,
+            expression=str(r.get("hlo_op_expression") or "")[:300],
+            source=str(r.get("source_info") or ""),
+        ))
+    busy_ms = sum(o["self_ms"] for o in ops) / trip_count
+    bytes_step = sum(o["bytes"] for o in ops) / trip_count
+    flops_step = sum(o["flops"] for o in ops) / trip_count
+    cats = {}
+    for o in ops:
+        c = cats.setdefault(o["category"], dict(self_ms=0.0, bytes=0.0))
+        c["self_ms"] += o["self_ms"] / trip_count
+        c["bytes"] += o["bytes"] / trip_count
+    return dict(
+        ops=sorted(ops, key=lambda o: -o["self_ms"]),
+        trip_count=trip_count,
+        busy_ms_per_step=busy_ms,
+        bytes_per_step=bytes_step,
+        flops_per_step=flops_step,
+        step_wall_ms=step_wall_s * 1e3,
+        # measured utilization against the wall step time (what bench pays)
+        bw_util_wall=(bytes_step / step_wall_s / peak_bw) if peak_bw else None,
+        # and against device-busy time (how hot the chip runs while running)
+        bw_util_busy=(bytes_step / (busy_ms / 1e3) / peak_bw)
+        if (peak_bw and busy_ms) else None,
+        mfu_wall=(flops_step / step_wall_s / peak_flops) if peak_flops else None,
+        categories=dict(sorted(cats.items(), key=lambda kv: -kv[1]["self_ms"])),
+    )
+
+
+def measured_step_stats(fn, args, trip_count, peak_bw, peak_flops,
+                        trace_root=None):
+    """Compile fn, time it, trace it, return the measured summary."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    jax.block_until_ready(compiled(*args))  # warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(compiled(*args))
+    wall = (time.perf_counter() - t0) / trip_count
+
+    tdir = trace_root or tempfile.mkdtemp(prefix="d3m_trace_")
+    paths = capture_trace(compiled, args, tdir, warm=False)
+    rows = parse_hlo_stats(paths)
+    return summarize(rows, trip_count, wall, peak_bw, peak_flops)
+
+
+def _fmt_md(summary, title, peak_bw, top_k=30):
+    s = summary
+    lines = [f"## {title}", ""]
+    lines.append(
+        f"- wall step time: **{s['step_wall_ms']:.2f} ms** "
+        f"(scan of {s['trip_count']} steps)")
+    lines.append(f"- device busy: **{s['busy_ms_per_step']:.2f} ms/step** "
+                 f"({100 * s['busy_ms_per_step'] / s['step_wall_ms']:.0f}% of wall)")
+    lines.append(f"- measured HBM traffic: **{s['bytes_per_step'] / 2**30:.2f} GiB/step**")
+    if s["bw_util_wall"] is not None:
+        lines.append(f"- measured HBM BW utilization (vs wall): "
+                     f"**{100 * s['bw_util_wall']:.1f}%** of "
+                     f"{peak_bw / 1e9:.0f} GB/s peak")
+    if s["bw_util_busy"] is not None:
+        lines.append(f"- measured HBM BW utilization (while busy): "
+                     f"**{100 * s['bw_util_busy']:.1f}%**")
+    if s["mfu_wall"] is not None:
+        lines.append(f"- measured MFU (trace FLOPs / wall): "
+                     f"**{100 * s['mfu_wall']:.2f}%**")
+    lines.append("")
+    lines.append("### Per-category rollup (ms/step)")
+    lines.append("")
+    lines.append("| category | ms/step | GiB/step |")
+    lines.append("|---|---:|---:|")
+    for cat, c in s["categories"].items():
+        lines.append(f"| {cat} | {c['self_ms']:.3f} | {c['bytes'] / 2**30:.3f} |")
+    lines.append("")
+    lines.append(f"### Top {top_k} ops by device self time (totals over the "
+                 f"{s['trip_count']}-step scan)")
+    lines.append("")
+    lines.append("| op | category | n | self ms | meas GiB/s | FLOPS/B | bound by |")
+    lines.append("|---|---|---:|---:|---:|---:|---|")
+    for o in s["ops"][:top_k]:
+        nm = o["name"][:48]
+        lines.append(
+            f"| `{nm}` | {o['category']} | {o['occurrences']} | "
+            f"{o['self_ms']:.3f} | {o['bw_gibs']:.0f} | "
+            f"{o['op_intensity']:.1f} | {o['bound_by']} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PROFILE_r04.md")
+    ap.add_argument("--block-dtype", default=None,
+                    help="BLOCK_DTYPE override (e.g. bfloat16)")
+    ap.add_argument("--global-dtype", default=None)
+    ap.add_argument("--backbone-dtype", default=None)
+    ap.add_argument("--top-k", type=int, default=30)
+    ap.add_argument("--json", default=None,
+                    help="also dump raw summaries to this json path")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bench import (_chip_peak_bw, _chip_peak_flops)
+    from deep3dmap_tpu.datasets.builder import _stack_samples
+    from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
+    from deep3dmap_tpu.models.frameworks.neuralrecon import NeuralRecon
+
+    n_views = 9
+    model_cfgs = dict(
+        N_LAYER=3, N_VOX=[96, 96, 96], VOXEL_SIZE=0.04,
+        TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
+        FUSION=dict(FUSION_ON=True, FULL=True), LW=[1.0, 0.8, 0.64],
+        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5, BACKBONE2D=dict(ARC="fpn-mnas-1"),
+        SPARSE_MODE="block", BLOCK_SIZE=8)
+    if args.block_dtype:
+        model_cfgs["BLOCK_DTYPE"] = args.block_dtype
+    if args.global_dtype:
+        model_cfgs["GLOBAL_DTYPE"] = args.global_dtype
+    if args.backbone_dtype:
+        model_cfgs["BACKBONE2D"]["DTYPE"] = args.backbone_dtype
+    fw = NeuralRecon(model_cfgs)
+
+    sample = make_fragment_sample(seed=0, n_views=n_views, img_size=(480, 640),
+                                  n_vox=96, voxel_size=0.04)
+    batch = jax.device_put(_stack_samples([sample]))
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+
+    dev = jax.devices()[0]
+    peak_bw = _chip_peak_bw(dev)
+    peak_flops = _chip_peak_flops(dev)
+
+    iters = 10
+
+    def infer_stream(params, mstate, batch):
+        def body(carry, _):
+            out, new_state = fw.forward_test(params, carry, batch)
+            return new_state, out["tsdf"].sum()
+        mstate2, sums = jax.lax.scan(body, mstate, None, length=iters)
+        return sums.sum()
+
+    print("tracing inference stream ...", flush=True)
+    infer = measured_step_stats(infer_stream, (params, mstate, batch), iters,
+                                peak_bw, peak_flops)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+    rng0 = jax.random.PRNGKey(1)
+    train_iters = 5
+
+    def train_stream(params, opt_state, mstate, rng, batch):
+        def body(carry, _):
+            params, opt_state, mstate, rng = carry
+            rng, sub = jax.random.split(rng)
+            (loss, aux), grads = jax.value_and_grad(fw.loss_fn, has_aux=True)(
+                params, mstate, batch, sub)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, aux["model_state"], rng), loss
+        carry, losses = jax.lax.scan(
+            body, (params, opt_state, mstate, rng), None, length=train_iters)
+        return losses.sum()
+
+    print("tracing train stream ...", flush=True)
+    train = measured_step_stats(train_stream,
+                                (params, opt_state, mstate, rng0, batch),
+                                train_iters, peak_bw, peak_flops)
+
+    variant = []
+    if args.block_dtype:
+        variant.append(f"BLOCK_DTYPE={args.block_dtype}")
+    if args.global_dtype:
+        variant.append(f"GLOBAL_DTYPE={args.global_dtype}")
+    if args.backbone_dtype:
+        variant.append(f"BACKBONE2D.DTYPE={args.backbone_dtype}")
+    vtxt = (" (" + ", ".join(variant) + ")") if variant else ""
+
+    md = [
+        f"# Measured device profile{vtxt}",
+        "",
+        f"Device: {getattr(dev, 'device_kind', 'unknown')} — "
+        f"peak {peak_flops / 1e12:.0f} Tf/s bf16, "
+        f"{peak_bw / 1e9:.0f} GB/s HBM.",
+        "",
+        "Captured with `jax.profiler.trace` on the live chip; per-op rows are "
+        "xprof `hlo_stats` (measured self time, measured memory bandwidth). "
+        "HBM bytes = measured BW x self time per op, summed — actual traffic, "
+        "not XLA cost-analysis estimates.",
+        "",
+        _fmt_md(infer, "Inference step (production block-sparse, 9 views, "
+                       "96^3)", peak_bw, args.top_k),
+        _fmt_md(train, "Training step (value_and_grad + adam, same shapes)",
+                peak_bw, args.top_k),
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(md))
+    print(f"wrote {args.out}")
+
+    if args.json:
+        def strip(s):
+            return {k: v for k, v in s.items() if k != "ops"} | {
+                "top_ops": s["ops"][:args.top_k]}
+        with open(args.json, "w") as f:
+            json.dump({"infer": strip(infer), "train": strip(train),
+                       "variant": variant}, f, indent=1)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
