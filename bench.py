@@ -213,9 +213,22 @@ def main():
         from deep3dmap_tpu.parallel.mesh import make_mesh
 
         mesh1 = make_mesh()
-        host_batches = [_stack_samples([make_fragment_sample(
+        # production stream payload: only the keys the step consumes, images
+        # quantized to uint8 (device-side normalization in the framework) —
+        # 4x fewer H2D bytes than the raw fp32 sample dict
+        need = ("imgs", "proj_matrices", "vol_origin_partial",
+                "world_to_aligned_camera", "tsdf_list", "occ_list",
+                "vol_origin", "scene_reset")
+
+        def pack(sample):
+            b = _stack_samples([sample])
+            b = {k: v for k, v in b.items() if k in need}
+            b["imgs"] = np.rint(np.clip(b["imgs"], 0, 1) * 255).astype(np.uint8)
+            return b
+
+        host_batches = [pack(make_fragment_sample(
             seed=100 + s, n_views=n_views, img_size=(480, 640), n_vox=96,
-            voxel_size=0.04)]) for s in range(4)]
+            voxel_size=0.04)) for s in range(4)]
         step_once = jax.jit(one_step)
         carry = (params, opt_state, mstate, rng0)
         for devb in prefetch_to_device(host_batches, mesh1):   # warm compile

@@ -56,3 +56,68 @@ def save_mesh_preview(verts: np.ndarray, faces: np.ndarray, save_path: str,
 
     plt.imsave(save_path, np.clip(img, 0, 1))
     return save_path
+
+
+class LiveMeshViewer:
+    """Incremental mesh preview during streaming inference.
+
+    Parity: /root/reference/deep3dmap/core/visualize/visualize.py:8-50 — the
+    reference opens a non-blocking open3d window and refreshes the growing
+    scene mesh as fragments arrive.  Here: the same non-blocking open3d
+    window when open3d is importable; otherwise (headless TPU hosts, CI)
+    each refresh writes a PNG snapshot via the native z-buffer rasterizer so
+    the stream stays observable without a display.
+    """
+
+    def __init__(self, save_dir: Optional[str] = None, window: bool = True,
+                 size: int = 512):
+        self.save_dir = save_dir
+        self.size = size
+        self.n_updates = 0
+        self._vis = None
+        self._o3d = None
+        self._geom = None
+        if window:
+            try:
+                import open3d as o3d
+
+                self._o3d = o3d
+                self._vis = o3d.visualization.Visualizer()
+                self._vis.create_window("deep3dmap_tpu", width=size,
+                                        height=size, visible=True)
+            except Exception:
+                self._vis = None
+        if save_dir:
+            import os
+
+            os.makedirs(save_dir, exist_ok=True)
+
+    def update(self, verts: np.ndarray, faces: np.ndarray) -> Optional[str]:
+        """Refresh with the current full mesh; returns the snapshot path
+        when running headless."""
+        self.n_updates += 1
+        if self._vis is not None:
+            o3d = self._o3d
+            mesh = o3d.geometry.TriangleMesh(
+                o3d.utility.Vector3dVector(np.asarray(verts, np.float64)),
+                o3d.utility.Vector3iVector(np.asarray(faces, np.int32)))
+            mesh.compute_vertex_normals()
+            if self._geom is not None:
+                self._vis.remove_geometry(self._geom, reset_bounding_box=False)
+            self._vis.add_geometry(mesh, reset_bounding_box=(self.n_updates == 1))
+            self._geom = mesh
+            self._vis.poll_events()
+            self._vis.update_renderer()
+            return None
+        if self.save_dir:
+            import os.path as osp
+
+            path = osp.join(self.save_dir, f"preview_{self.n_updates:04d}.png")
+            return save_mesh_preview(np.asarray(verts), np.asarray(faces),
+                                     path, size=self.size)
+        return None
+
+    def close(self):
+        if self._vis is not None:
+            self._vis.destroy_window()
+            self._vis = None

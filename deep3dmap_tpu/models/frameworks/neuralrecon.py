@@ -400,6 +400,9 @@ class NeuralRecon(BaseFramework):
         # HBM traffic (the hidden volumes are the biggest recurrent arrays);
         # gates/updates still compute in the GRU's own dtype
         self.global_dtype = cfg.get("GLOBAL_DTYPE")
+        # device-side normalization for uint8 image batches, (mean, std) in
+        # [0,1] units — lets the input pipeline ship images quantized
+        self.img_norm = tuple(cfg.get("IMG_NORM", (0.0, 1.0)))
         self.test_cfg = test_cfg
 
         self.net = NeuralReconNet(
@@ -514,6 +517,14 @@ class NeuralRecon(BaseFramework):
         return dict(model_state, global_hidden=GlobalVolumeState(volumes=tuple(vols)))
 
     def _apply(self, params, model_state, batch):
+        imgs = batch["imgs"]
+        if imgs.dtype == jnp.uint8:
+            # host->device images travel quantized (4x fewer bytes over the
+            # input pipeline); normalization happens on device.  IMG_NORM =
+            # (mean, std) in [0,1] units, default identity after /255.
+            mean, std = getattr(self, "img_norm", (0.0, 1.0))
+            imgs = (imgs.astype(jnp.float32) / 255.0 - mean) / std
+            batch = dict(batch, imgs=imgs)
         hidden = self._read_hidden(model_state, batch)
         if self.fusion_on and "scene_reset" in batch:
             reset = batch["scene_reset"].astype(bool)

@@ -31,6 +31,49 @@ import jax
 import jax.numpy as jnp
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _packed_gather(table, idx, hw):
+    """``take(table, idx)`` with a per-view-scatter backward.
+
+    Forward: one flat gather (the fast path — XLA's fused gather reaches
+    ~540M rows/s on coherent projection indices).  Backward: the gather's
+    natural VJP is ONE scatter-add over the whole (B*V*H*W)-row table, which
+    the TPU scatter emitter runs at ~60M rows/s (r4 trace: 17.3 ms at level
+    2); restructured as a ``lax.scan`` of per-view scatter-adds into
+    (H*W)-row targets it runs 2.1x faster (9.1 ms measured) — the small
+    per-view working set is what the emitter needs.
+
+    Args:
+        table: (R, C) with R = n_segments * hw (one segment per (batch,view)).
+        idx: (S, K) int32 global row indices, segment-major — every
+            ``idx[s]`` must point inside segment s (rows [s*hw, (s+1)*hw)).
+        hw: static rows per segment.
+    """
+    return jnp.take(table, idx.reshape(-1), axis=0)
+
+
+def _packed_gather_fwd(table, idx, hw):
+    return _packed_gather(table, idx, hw), idx
+
+
+def _packed_gather_bwd(hw, idx, d_out):
+    S, K = idx.shape
+    C = d_out.shape[-1]
+    d_seg = d_out.reshape(S, K, C)
+    base = (jnp.arange(S, dtype=jnp.int32) * hw)[:, None]
+    idx_local = idx - base
+
+    def body(_, args):
+        ii, dd = args
+        return 0, jnp.zeros((hw, C), dd.dtype).at[ii].add(dd)
+
+    _, d_table = jax.lax.scan(body, 0, (idx_local, d_seg))
+    return d_table.reshape(S * hw, C), None
+
+
+_packed_gather.defvjp(_packed_gather_fwd, _packed_gather_bwd)
+
+
 def _voxel_world_from_flat(flat_idx: jnp.ndarray, dim: int, voxel_size: float,
                            origin: jnp.ndarray, interval: int) -> jnp.ndarray:
     """World centers for voxels given by linear indices into a dim³ grid."""
@@ -98,7 +141,8 @@ def back_project_sparse_batch(feats: jnp.ndarray, proj: jnp.ndarray,
                             axis=-1).reshape(B * V * H * W, 4 * C)
     base = (jnp.arange(B * V, dtype=jnp.int32) * (H * W)).reshape(B, V, 1)
     idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32) + base  # (B,V,K)
-    g = jnp.take(table, idx.reshape(-1), axis=0).reshape(B, V, K, 4 * C)
+    g = _packed_gather(table, idx.reshape(B * V, K), H * W
+                       ).reshape(B, V, K, 4 * C)
     # combine the 4 taps as lane-slices of the packed row (a reshape to
     # (..., 4, C) would transpose the whole gather output before the reduce);
     # per-slice converts fuse into the consumer, a bulk astype would

@@ -100,10 +100,39 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host-local pytree of numpy arrays onto the mesh, sharded on the
     leading dimension.  Replaces DataContainer/scatter
     (/root/reference/deep3dmap/parallel/scatter_gather.py:9).
+
+    Single-process (incl. the virtual multi-device test mesh): a plain
+    ``device_put`` with a NamedSharding.  Multi-process (the
+    ``tools/train.py --launcher jax`` pod path): each process holds only its
+    rank-local slice of the global batch (DistributedSampler), so leaves are
+    promoted with ``host_local_array_to_global_array`` — the local leading
+    dim concatenates across processes into the global batch axis.
     """
     spec = data_spec(mesh, axis)
 
     n_shards = mesh.shape.get(axis, 1)
+    multiproc = jax.process_count() > 1 and any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat)
+
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        def _put(x):
+            x = np.asarray(x)
+            if x.ndim == 0:
+                return multihost_utils.host_local_array_to_global_array(
+                    x, mesh, P())
+            # per-process shard count along the data axis
+            procs = len({d.process_index for d in mesh.devices.flat})
+            local_n = n_shards // max(procs, 1)
+            if local_n > 1 and x.shape[0] % local_n != 0:
+                return multihost_utils.host_local_array_to_global_array(
+                    x, mesh, P())
+            return multihost_utils.host_local_array_to_global_array(
+                x, mesh, spec)
+
+        return jax.tree_util.tree_map(_put, batch)
 
     def _put(x):
         x = np.asarray(x)

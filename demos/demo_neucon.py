@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--out", default="results/demo_neucon")
     p.add_argument("--scannet", help="ScanNet datapath (optional)")
     p.add_argument("--checkpoint")
+    p.add_argument("--preview-every", type=int, default=1,
+                   help="refresh the live mesh preview every N fragments "
+                        "(0 = off); open3d window when available, PNG "
+                        "snapshots under <out>/preview otherwise")
     return p.parse_args()
 
 
@@ -68,6 +72,10 @@ def main():
 
     fwd = jax.jit(lambda p, s, b: fw.forward_test(p, s, b), donate_argnums=(1,))
     assembler = SceneAssembler(voxel_size=voxel_size, save_dir=args.out)
+    viewer = None
+    if args.preview_every:
+        from deep3dmap_tpu.core.visualize.mesh_viewer import LiveMeshViewer
+        viewer = LiveMeshViewer(save_dir=osp.join(args.out, "preview"))
 
     # warmup/compile on the first fragment
     out, mstate = fwd(params, mstate, jax.device_put(batch0))
@@ -79,10 +87,21 @@ def main():
         out, mstate = fwd(params, mstate, batch)
         tsdf = np.asarray(jax.device_get(out["tsdf"][0]))
         origin = np.asarray(jax.device_get(out["origin"][0]))
-        assembler.update(str(frag.get("scene", "demo_scene")), tsdf, origin)
-        print(f"fragment {i + 1}/{len(frags)} done")
+        scene = str(frag.get("scene", "demo_scene"))
+        assembler.update(scene, tsdf, origin)
+        # incremental visualization: re-mesh the growing scene volume and
+        # refresh the viewer (ref visualize.py:8-50 semantics)
+        if viewer is not None and (i + 1) % args.preview_every == 0:
+            verts, faces = assembler.get_mesh(scene)
+            snap = viewer.update(verts, faces)
+            extra = f" preview={snap}" if snap else ""
+            print(f"fragment {i + 1}/{len(frags)} done{extra}")
+        else:
+            print(f"fragment {i + 1}/{len(frags)} done")
     duration = time.time() - t0
 
+    if viewer is not None:
+        viewer.close()
     paths = assembler.save_all()
     n_key = len(frags) * args.n_views
     print(f"Saved meshes: {paths}")

@@ -114,3 +114,29 @@ def test_behind_camera_is_masked(rng):
                                   jnp.asarray(origin), 6, 0.08, 1)
     assert float(jnp.asarray(cnt).sum()) == 0.0
     np.testing.assert_allclose(np.asarray(vol), 0.0, atol=1e-6)
+
+
+def test_packed_gather_custom_vjp_matches_auto():
+    """The per-view-scatter backward must equal the plain gather VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3dmap_tpu.ops.back_project import _packed_gather
+
+    rs = np.random.RandomState(0)
+    S, HW, K, C = 3, 40, 17, 8
+    table = jnp.asarray(rs.randn(S * HW, C), jnp.float32)
+    idx = jnp.asarray(
+        rs.randint(0, HW, (S, K)) + np.arange(S)[:, None] * HW, jnp.int32)
+    cot = jnp.asarray(rs.randn(S * K, C), jnp.float32)
+
+    def f_custom(t):
+        return (_packed_gather(t, idx, HW) * cot).sum()
+
+    def f_auto(t):
+        return (jnp.take(t, idx.reshape(-1), axis=0) * cot).sum()
+
+    g_custom = jax.grad(f_custom)(table)
+    g_auto = jax.grad(f_auto)(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto),
+                               rtol=1e-6, atol=1e-6)

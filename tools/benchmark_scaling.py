@@ -28,6 +28,14 @@ def parse_args():
     p.add_argument("--img", type=int, default=48)
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--block", action="store_true",
+                   help="block-sparse fine levels (the bench.py headline "
+                        "path) instead of dense-masked")
+    p.add_argument("--modes", nargs="+", default=None,
+                   choices=["dense", "block"],
+                   help="run several modes into one report (overrides --block)")
+    p.add_argument("--out", default=None,
+                   help="write the report json here (e.g. SCALING_r04.json)")
     return p.parse_args()
 
 
@@ -44,10 +52,18 @@ def bench_n(n_devices, args):
     from deep3dmap_tpu.runners.train_state import TrainState
 
     mesh = make_mesh(axes=("data",), shape=(n_devices,))
-    fw = NeuralRecon(dict(
+    cfg = dict(
         N_LAYER=3, N_VOX=[args.n_vox] * 3, VOXEL_SIZE=0.08,
         FUSION=dict(FUSION_ON=True, FULL=True),
-        BACKBONE2D=dict(ARC="fpn-mnas-0.5")))
+        BACKBONE2D=dict(ARC="fpn-mnas-0.5"))
+    if getattr(args, "_mode", "dense") == "block":
+        bs = 8 if args.n_vox % 8 == 0 else 4
+        nb_mid, nb_fine = (args.n_vox // 2) // bs, args.n_vox // bs
+        cfg.update(SPARSE_MODE="block", BLOCK_SIZE=bs,
+                   MAX_BLOCKS=[None, max(nb_mid ** 3 // 2, 2),
+                               max(nb_fine ** 3 // 4, 4)],
+                   GLOBAL_DTYPE="bfloat16", BLOCK_DTYPE="bfloat16")
+    fw = NeuralRecon(cfg)
     samples = [make_fragment_sample(seed=i, n_views=args.views,
                                     img_size=(args.img, args.img),
                                     n_vox=args.n_vox, voxel_size=0.08)
@@ -114,19 +130,25 @@ def main():
     import jax
 
     avail = len(jax.devices())
-    rows = []
-    base = None
-    for n in args.devices:
-        if n > avail:
-            continue
-        fps = bench_n(n, args)
-        if base is None:
-            base = fps
-        eff = fps / (base * n)
-        rows.append(dict(devices=n, frames_per_s=round(fps, 2),
-                         scaling_efficiency=round(eff, 3)))
-        print(json.dumps(rows[-1]))
-    out = {"report": "neuralrecon_train_scaling", "rows": rows,
+    modes = args.modes or (["block"] if args.block else ["dense"])
+    report = {}
+    for mode in modes:
+        args._mode = mode
+        rows = []
+        base = None
+        for n in args.devices:
+            if n > avail:
+                continue
+            fps = bench_n(n, args)
+            if base is None:
+                base = fps
+            eff = fps / (base * n)
+            rows.append(dict(devices=n, frames_per_s=round(fps, 2),
+                             scaling_efficiency=round(eff, 3)))
+            print(json.dumps(dict(mode=mode, **rows[-1])))
+        report[mode] = rows
+    out = {"report": "neuralrecon_train_scaling", "modes": report,
+           "n_vox": args.n_vox, "views": args.views,
            "platform": jax.devices()[0].platform}
     if out["platform"] == "cpu":
         out["note"] = ("virtual CPU devices share one host's cores: total "
@@ -134,6 +156,9 @@ def main():
                        "validates only correctness/compilation of the sharded "
                        "step; run on a pod slice for real scaling numbers")
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
