@@ -87,15 +87,33 @@ def _compiled_cost(compiled):
 
 
 def _compile_and_time(fn, *args, iters):
-    """AOT-compile once; returns seconds per inner iteration."""
+    """AOT-compile once; returns seconds per inner iteration.
+
+    ``fn`` must return a scalar.  Each timed call carries a fresh 4-byte
+    "salt" input folded into the output: the remote-chip runtime dedups a
+    repeated call whose input buffers are all identical (returning the
+    cached result in ~0 ms, which would inflate throughput absurdly), and
+    re-registering fresh copies of the BIG buffers instead pays hundreds of
+    ms of tunnel RPC — the salt defeats dedup while the big buffers stay
+    registered.  Best of 2 guards against one-off dispatch hiccups."""
     import jax
-    compiled = jax.jit(fn).lower(*args).compile()
-    out = compiled(*args)              # warmup (first run allocates)
+    import jax.numpy as jnp
+
+    def salted(salt, *a):
+        return fn(*a) + salt * 1e-30
+
+    compiled = jax.jit(salted).lower(jnp.float32(0), *args).compile()
+    out = compiled(jnp.float32(0), *args)   # warmup (first run allocates)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = compiled(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for i in (1, 2):
+        s = jax.device_put(jnp.float32(i))
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        out = compiled(s, *args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def _cost_of(fn, *args):
@@ -132,8 +150,9 @@ def main():
         SPARSE_MODE="block", BLOCK_SIZE=8,
         # bf16 on the bandwidth-bound paths (r4 chip A/B, PROFILE_r04.md):
         # recurrent hidden volumes, block UNet/GRU compute, and the 2D trunk
-        # — params/accumulation stay fp32.  Together: infer 41.4->30.8 ms,
-        # train 156->126 ms on v5e
+        # — params/accumulation stay fp32.  With the per-view scatter VJP and
+        # the batched-views inference trunk (BACKBONE2D.INFER_MODE default):
+        # infer 41.4->24.1 ms, train 156->113 ms on v5e
         GLOBAL_DTYPE="bfloat16", BLOCK_DTYPE="bfloat16",
         BACKBONE2D=dict(ARC="fpn-mnas-1", DTYPE="bfloat16"))
     fw = NeuralRecon(model_cfgs)
@@ -226,19 +245,20 @@ def main():
             b["imgs"] = np.rint(np.clip(b["imgs"], 0, 1) * 255).astype(np.uint8)
             return b
 
+        n_stream = 12
+        # every timed batch is DISTINCT (fresh host arrays): re-feeding the
+        # same host arrays would let the remote runtime dedup whole steps
         host_batches = [pack(make_fragment_sample(
             seed=100 + s, n_views=n_views, img_size=(480, 640), n_vox=96,
-            voxel_size=0.04)) for s in range(4)]
+            voxel_size=0.04)) for s in range(4 + n_stream)]
         step_once = jax.jit(one_step)
         carry = (params, opt_state, mstate, rng0)
-        for devb in prefetch_to_device(host_batches, mesh1):   # warm compile
+        for devb in prefetch_to_device(host_batches[:4], mesh1):  # warm compile
             p, o, m, r, _ = step_once(*carry, devb)
             carry = (p, o, m, r)
         jax.block_until_ready(carry[0])
-        n_stream = 12
         t0 = time.perf_counter()
-        for devb in prefetch_to_device(
-                (host_batches[i % 4] for i in range(n_stream)), mesh1):
+        for devb in prefetch_to_device(host_batches[4:], mesh1):
             p, o, m, r, _ = step_once(*carry, devb)
             carry = (p, o, m, r)
         jax.block_until_ready(carry[0])

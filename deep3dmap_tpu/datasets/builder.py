@@ -147,14 +147,16 @@ def prefetch_to_device(iterable, mesh, depth: int = 2, axis: str = "data",
 
     Wraps a host batch iterator: pulls ``depth`` batches ahead, runs the
     optional ``host_check`` callback on the host values, and starts their
-    (asynchronous) ``shard_batch`` device placement immediately — so batch
-    N+1 uploads while the jitted step for batch N runs.  The reference gets
-    this overlap from torch DataLoader workers + CUDA async H2D; on TPU,
-    ``jax.device_put`` is itself asynchronous, so a lookahead deque is all
-    that is needed (SURVEY.md §5.8 "host-side prefetch pipeline feeding
-    device buffers").
+    ``shard_batch`` device placement immediately — so batch N+1 uploads
+    while the jitted step for batch N runs.  The reference gets this overlap
+    from torch DataLoader workers + CUDA async H2D; on TPU ``jax.device_put``
+    is nominally asynchronous, but some transports (the remote-chip tunnel)
+    make it block the caller, so the put itself runs on a dedicated transfer
+    thread — the lookahead deque holds futures, not arrays (SURVEY.md §5.8
+    "host-side prefetch pipeline feeding device buffers").
     """
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..parallel.mesh import shard_batch
 
@@ -163,18 +165,20 @@ def prefetch_to_device(iterable, mesh, depth: int = 2, axis: str = "data",
             host_check(batch)
         return shard_batch(batch, mesh, axis=axis)
 
-    buf = deque()
-    it = iter(iterable)
-    for batch in it:
-        buf.append(put(batch))
-        if len(buf) >= max(1, depth):
-            break
-    while buf:
-        ready = buf.popleft()
-        nxt = next(it, None)
-        if nxt is not None:
-            buf.append(put(nxt))
-        yield ready
+    # one worker = transfers start in submission order
+    with ThreadPoolExecutor(1) as pool:
+        buf = deque()
+        it = iter(iterable)
+        for batch in it:
+            buf.append(pool.submit(put, batch))
+            if len(buf) >= max(1, depth):
+                break
+        while buf:
+            ready = buf.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                buf.append(pool.submit(put, nxt))
+            yield ready
 
 
 def build_dataloader(dataset, samples_per_gpu: int = 1, workers_per_gpu: int = 0,

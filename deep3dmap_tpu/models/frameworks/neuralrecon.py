@@ -84,6 +84,26 @@ class _FPNStep(nn.Module):
                                     dtype=self.dtype, name="fpn")(x))
 
 
+class _FPNBatch(nn.Module):
+    """All views through the FPN as ONE conv batch — same param tree as the
+    scanned form (params/backbone2d/fpn/...), but without the per-view scan's
+    output-stacking layout copies (r4 trace: ~1.9 ms/step of VMEM-write-bound
+    `copy` ops at 9 views) and with V× larger conv batches for the MXU.
+    Peak 2D activation memory is V× the scanned form, so this is the
+    inference/bf16 mode; training at fp32 keeps the scan."""
+
+    alpha: float
+    norm: str = "gn"
+    torch_pad: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        return tuple(MnasFPN(alpha=self.alpha, norm=self.norm,
+                             torch_pad=self.torch_pad,
+                             dtype=self.dtype, name="fpn")(x))
+
+
 class NeuralReconNet(nn.Module):
     """The jittable network: features -> coarse-to-fine dense pyramid."""
 
@@ -95,6 +115,8 @@ class NeuralReconNet(nn.Module):
     backbone_torch_pad: bool = False
     backbone_freeze: bool = False   # stop-gradient the 2D trunk (import mode)
     backbone_dtype: Optional[str] = None   # conv compute dtype for the trunk
+    backbone_mode: str = "scan"     # "scan": one view at a time (min memory);
+                                    # "batch": all V views as one conv batch
     fusion_on: bool = True
     add_coord_feats: bool = True
     out_channels: Sequence[int] = (96, 48, 24)
@@ -138,15 +160,23 @@ class NeuralReconNet(nn.Module):
         B, V = imgs.shape[0], imgs.shape[1]
         n_scales = self.n_layers - 1
 
-        ScanFPN = nn.scan(nn.remat(_FPNStep), variable_broadcast="params",
-                          split_rngs={"params": False}, in_axes=0, out_axes=0)
-        imgs_v = jnp.moveaxis(imgs, 1, 0)  # (V, B, H, W, 3)
         bb_dt = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
-        _, pyramid = ScanFPN(alpha=self.alpha, norm=self.backbone_norm,
-                             torch_pad=self.backbone_torch_pad, dtype=bb_dt,
-                             name="backbone2d")(None, imgs_v)
-        # pyramid[s]: (V, B, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
-        pyramid = [jnp.moveaxis(f, 0, 1) for f in pyramid]
+        if self.backbone_mode == "batch":
+            flat = imgs.reshape((B * V,) + imgs.shape[2:])
+            pyramid = nn.remat(_FPNBatch)(
+                alpha=self.alpha, norm=self.backbone_norm,
+                torch_pad=self.backbone_torch_pad, dtype=bb_dt,
+                name="backbone2d")(flat)
+            # pyramid[s]: (B, V, H/4/2^s, W/4/2^s, C_s), C = [24, 40, 80]
+            pyramid = [f.reshape((B, V) + f.shape[1:]) for f in pyramid]
+        else:
+            ScanFPN = nn.scan(nn.remat(_FPNStep), variable_broadcast="params",
+                              split_rngs={"params": False}, in_axes=0, out_axes=0)
+            imgs_v = jnp.moveaxis(imgs, 1, 0)  # (V, B, H, W, 3)
+            _, pyramid = ScanFPN(alpha=self.alpha, norm=self.backbone_norm,
+                                 torch_pad=self.backbone_torch_pad, dtype=bb_dt,
+                                 name="backbone2d")(None, imgs_v)
+            pyramid = [jnp.moveaxis(f, 0, 1) for f in pyramid]
         if self.backbone_freeze:
             # imported torch trunks run norm="none" (BN folded for inference);
             # freezing keeps the unnormalized trunk out of the optimization
@@ -372,6 +402,7 @@ class NeuralRecon(BaseFramework):
         self.backbone_ckpt = bb2d.get("CKPT", pretrained)
         self.backbone_freeze = bool(bb2d.get("FREEZE", False))
         self.backbone_dtype = bb2d.get("DTYPE")
+        self.backbone_mode = bb2d.get("MODE", "scan")
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
         # active-voxel capacity at level i = 8x the previous level's
         # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
@@ -411,10 +442,22 @@ class NeuralRecon(BaseFramework):
             backbone_torch_pad=self.backbone_torch_pad,
             backbone_freeze=self.backbone_freeze,
             backbone_dtype=self.backbone_dtype,
+            backbone_mode=self.backbone_mode,
             fusion_on=self.fusion_on, out_channels=self.out_channels,
             thresholds=self.thresholds, num_sample=self.num_sample,
             sparse_mode=self.sparse_mode, block_size=self.block_size,
             max_blocks=self.max_blocks, block_dtype=self.block_dtype)
+        # inference runs the batched-views backbone by default (numerically
+        # identical, shares the param tree; r4 chip A/B: 30.8 -> 24.1 ms at
+        # the 9-view bench shape — no scan stacking copies, V x larger conv
+        # batches).  Training keeps the scanned form: per-view remat bounds
+        # 2D activation memory and the train step measured equal either way.
+        self.backbone_infer_mode = bb2d.get("INFER_MODE", "batch")
+        if self.backbone_infer_mode == self.backbone_mode:
+            self.net_infer = self.net
+        else:
+            self.net_infer = self.net.clone(
+                backbone_mode=self.backbone_infer_mode)
 
     def _graft_backbone(self, params, ckpt_path):
         """Graft an imported MnasFPN param tree (tools/import_weights.py
@@ -516,7 +559,8 @@ class NeuralRecon(BaseFramework):
                                           rels[i])
         return dict(model_state, global_hidden=GlobalVolumeState(volumes=tuple(vols)))
 
-    def _apply(self, params, model_state, batch):
+    def _apply(self, params, model_state, batch, net=None):
+        net = net or self.net
         imgs = batch["imgs"]
         if imgs.dtype == jnp.uint8:
             # host->device images travel quantized (4x fewer bytes over the
@@ -531,9 +575,9 @@ class NeuralRecon(BaseFramework):
             model_state = dict(model_state,
                                global_hidden=reset_volumes(model_state["global_hidden"], reset))
             hidden = self._read_hidden(model_state, batch)
-        out = self.net.apply(params, batch["imgs"], batch["proj_matrices"],
-                             batch["vol_origin_partial"], batch["world_to_aligned_camera"],
-                             hidden_windows=hidden)
+        out = net.apply(params, batch["imgs"], batch["proj_matrices"],
+                        batch["vol_origin_partial"], batch["world_to_aligned_camera"],
+                        hidden_windows=hidden)
         new_state = self._write_hidden(model_state, batch, out.get("new_hidden", []))
         return out, new_state
 
@@ -631,7 +675,8 @@ class NeuralRecon(BaseFramework):
         """Inference: returns final-level dense tsdf + occupancy and the
         updated recurrent state (parity: neuralrecon.py:125-201 forward_test;
         mesh assembly happens host-side in core/utils/scene_assembler)."""
-        out, new_state = self._apply(params, model_state, batch)
+        out, new_state = self._apply(params, model_state, batch,
+                                     net=self.net_infer)
         tsdf = out["tsdf"][-1][..., 0]
         occ_logit = out["occ"][-1][..., 0]
         occupied = (occ_logit > self.thresholds[-1]) & out["sparse_mask"][-1].astype(bool)

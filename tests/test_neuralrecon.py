@@ -324,3 +324,37 @@ def test_global_dims_disjoint_windows_and_clamp_warning():
         s["vol_origin_partial"], np.float32) + np.array([50.0, 0, 0], np.float32)
     fw.host_check_batch(_stack_samples([far]))
     assert fw._warned_clamp
+
+
+def test_backbone_batch_mode_matches_scan(batch, fw_and_state):
+    """BACKBONE2D.MODE='batch' (views folded into the conv batch — no
+    per-view scan stacking copies, r4 chip A/B: infer 30.8 -> 24.1 ms) must
+    share the scanned form's param tree, and the trunk itself must be
+    view-batch invariant: per-view application == one batched application.
+    (End-to-end volumes are NOT compared: float-associativity-level feature
+    differences can flip sparse occupancy-mask bits downstream.)"""
+    from deep3dmap_tpu.models.backbones.fpn2d import MnasFPN
+
+    fw_scan, params, mstate = fw_and_state
+    fw_batch = NeuralRecon(dict(MODEL_CFGS,
+                                BACKBONE2D=dict(ARC="fpn-mnas-0.5",
+                                                MODE="batch")))
+    p2, m2 = fw_batch.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))
+    # batch-mode forward_test runs and produces the standard surface
+    out_b, _ = fw_batch.forward_test(p2, m2, batch)
+    assert out_b["tsdf"].shape == (2, 24, 24, 24)
+    assert np.isfinite(np.asarray(out_b["tsdf"])).all()
+
+    # trunk view-batch invariance at the feature level
+    m = MnasFPN(alpha=0.5)
+    imgs = jnp.asarray(batch["imgs"][:, :2])        # (B, 2, H, W, 3)
+    B, V = imgs.shape[:2]
+    p_fpn = m.init(jax.random.PRNGKey(1), imgs[:, 0])
+    per_view = [m.apply(p_fpn, imgs[:, v]) for v in range(V)]
+    batched = m.apply(p_fpn, imgs.reshape((B * V,) + imgs.shape[2:]))
+    for s in range(3):
+        want = np.stack([np.asarray(per_view[v][s]) for v in range(V)], 1)
+        got = np.asarray(batched[s]).reshape(want.shape)
+        np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)

@@ -43,6 +43,8 @@ def capture_trace(fn_compiled, args, trace_dir, warm=True):
 
     if warm:
         jax.block_until_ready(fn_compiled(*args))
+    args = fresh_args(args)   # defeat remote-runtime call dedup (see below)
+    jax.block_until_ready(args)
     jax.profiler.start_trace(trace_dir)
     try:
         out = fn_compiled(*args)
@@ -114,19 +116,43 @@ def summarize(rows, trip_count, step_wall_s, peak_bw, peak_flops):
     )
 
 
-def measured_step_stats(fn, args, trip_count, peak_bw, peak_flops,
-                        trace_root=None):
-    """Compile fn, time it, trace it, return the measured summary."""
+def fresh_args(args):
+    """On-device copies of every array arg: the remote-chip runtime dedups a
+    repeated call on the SAME input buffers (returns the cached result in
+    ~0 ms), so every timed call must see fresh buffer ids."""
     import jax
 
-    compiled = jax.jit(fn).lower(*args).compile()
-    jax.block_until_ready(compiled(*args))  # warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(compiled(*args))
-    wall = (time.perf_counter() - t0) / trip_count
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, args)
+
+
+def measured_step_stats(fn, args, trip_count, peak_bw, peak_flops,
+                        trace_root=None):
+    """Compile fn, time it, trace it, return the measured summary.
+
+    ``fn`` must return a scalar.  Timing uses a fresh 4-byte "salt" input
+    per call (folded into the output): the remote runtime dedups a repeated
+    call whose input buffers are all identical, while re-registering copies
+    of the big buffers pays tunnel RPC — the salt defeats dedup cheaply."""
+    import jax
+    import jax.numpy as jnp
+
+    def salted(salt, *a):
+        return fn(*a) + salt * 1e-30
+
+    compiled = jax.jit(salted).lower(jnp.float32(0), *args).compile()
+    jax.block_until_ready(compiled(jnp.float32(0), *args))  # warm
+    wall = float("inf")
+    for i in (1, 2):
+        s = jax.device_put(jnp.float32(i))
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(s, *args))
+        wall = min(wall, (time.perf_counter() - t0) / trip_count)
 
     tdir = trace_root or tempfile.mkdtemp(prefix="d3m_trace_")
-    paths = capture_trace(compiled, args, tdir, warm=False)
+    paths = capture_trace(compiled, (jnp.float32(3),) + tuple(args), tdir,
+                          warm=False)
     rows = parse_hlo_stats(paths)
     return summarize(rows, trip_count, wall, peak_bw, peak_flops)
 

@@ -67,6 +67,7 @@ def main():
     if len(workflow) > 1 and "val" in cfg.data and not args.no_validate:
         datasets.append(build_dataset(cfg.data["val"]))
     loaders = [build_dataloader(ds, samples_per_gpu=cfg.data.get("samples_per_gpu", 1),
+                                workers_per_gpu=cfg.data.get("workers_per_gpu", 0),
                                 shuffle=True, seed=args.seed) for ds in datasets]
 
     # model
