@@ -49,6 +49,7 @@ def main():
 
     dataset = build_dataset(cfg.data["test"])
     loader = build_dataloader(dataset, samples_per_gpu=cfg.data.get("samples_per_gpu", 1),
+                              workers_per_gpu=cfg.data.get("workers_per_gpu", 0),
                               shuffle=False)
 
     framework = build_reconstruction(cfg.model)
