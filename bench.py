@@ -154,7 +154,13 @@ def main():
         # the batched-views inference trunk (BACKBONE2D.INFER_MODE default):
         # infer 41.4->24.1 ms, train 156->113 ms on v5e
         GLOBAL_DTYPE="bfloat16", BLOCK_DTYPE="bfloat16",
-        BACKBONE2D=dict(ARC="fpn-mnas-1", DTYPE="bfloat16"))
+        # r5 chip A/B (tools/ab_backbone_mode.py): the batched-views trunk
+        # WITHOUT remat is the fastest train step (113.3 scan -> 106.4 ms;
+        # bf16 activations for 9 views fit HBM, skipping the recompute pass
+        # and the per-view scan's layout copies).  The inference net keeps
+        # the remat annotation (faster in pure forward; see neuralrecon.py).
+        BACKBONE2D=dict(ARC="fpn-mnas-1", DTYPE="bfloat16", MODE="batch",
+                        REMAT=False, INFER_MODE="batch"))
     fw = NeuralRecon(model_cfgs)
 
     sample = make_fragment_sample(seed=0, n_views=n_views, img_size=(480, 640),

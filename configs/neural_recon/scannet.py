@@ -34,7 +34,10 @@ model = dict(
         N_VOX=[96, 96, 96],
         VOXEL_SIZE=VOXEL_SIZE,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
-        BACKBONE2D=dict(ARC="fpn-mnas-1"),
+        # INFER_MODE="batch": views folded into one conv batch at inference
+        # (+28% on chip; numerically-identical params, opt-in vs the scanned
+        # trunk the default follows)
+        BACKBONE2D=dict(ARC="fpn-mnas-1", INFER_MODE="batch"),
         GLOBAL_DIMS=GLOBAL_DIMS,
     ),
 )

@@ -27,7 +27,7 @@ model = dict(
         N_VOX=[N_VOX, N_VOX, N_VOX],
         VOXEL_SIZE=VOXEL_SIZE,
         TRAIN_NUM_SAMPLE=[512, 2048, 8192],
-        BACKBONE2D=dict(ARC="fpn-mnas-0.5"),
+        BACKBONE2D=dict(ARC="fpn-mnas-0.5", INFER_MODE="batch"),
         FUSION=dict(FUSION_ON=True, HIDDEN_DIM=64, AVERAGE=False, FULL=True),
         LW=[1.0, 0.8, 0.64],
         THRESHOLDS=[0, 0, 0],

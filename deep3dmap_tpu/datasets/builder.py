@@ -161,24 +161,37 @@ def prefetch_to_device(iterable, mesh, depth: int = 2, axis: str = "data",
     from ..parallel.mesh import shard_batch
 
     def put(batch):
+        return shard_batch(batch, mesh, axis=axis)
+
+    def submit(pool, batch):
+        # host_check runs on the CALLER thread (it is cheap host-side
+        # validation): its exceptions surface immediately at the submit site
+        # instead of later via future.result(), which would leave other
+        # in-flight futures' exceptions unretrieved
         if host_check is not None:
             host_check(batch)
-        return shard_batch(batch, mesh, axis=axis)
+        return pool.submit(put, batch)
 
     # one worker = transfers start in submission order
     with ThreadPoolExecutor(1) as pool:
         buf = deque()
         it = iter(iterable)
-        for batch in it:
-            buf.append(pool.submit(put, batch))
-            if len(buf) >= max(1, depth):
-                break
-        while buf:
-            ready = buf.popleft().result()
-            nxt = next(it, None)
-            if nxt is not None:
-                buf.append(pool.submit(put, nxt))
-            yield ready
+        try:
+            for batch in it:
+                buf.append(submit(pool, batch))
+                if len(buf) >= max(1, depth):
+                    break
+            while buf:
+                ready = buf.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    buf.append(submit(pool, nxt))
+                yield ready
+        finally:
+            # abandoning the generator early: drop queued transfers so
+            # pool.shutdown(wait=True) only waits for the one in flight
+            for f in buf:
+                f.cancel()
 
 
 def build_dataloader(dataset, samples_per_gpu: int = 1, workers_per_gpu: int = 0,

@@ -117,6 +117,11 @@ class NeuralReconNet(nn.Module):
     backbone_dtype: Optional[str] = None   # conv compute dtype for the trunk
     backbone_mode: str = "scan"     # "scan": one view at a time (min memory);
                                     # "batch": all V views as one conv batch
+    backbone_remat: bool = True     # rematerialize 2D trunk activations in
+                                    # the backward (False: store them — at
+                                    # bf16 + batch mode the whole-trunk
+                                    # activation set fits HBM and skips the
+                                    # recompute pass)
     fusion_on: bool = True
     add_coord_feats: bool = True
     out_channels: Sequence[int] = (96, 48, 24)
@@ -128,6 +133,12 @@ class NeuralReconNet(nn.Module):
     # back-projection gather-table dtype: the op is gather-bound on TPU and
     # bfloat16 halves the gathered bytes (~1.7x); weights/means stay fp32
     bp_gather_dtype: Optional[str] = "bfloat16"
+    # static valid-row capacity fraction for the back-projection scatter
+    # backward (ops/back_project._packed_gather grad_cap): the TPU scatter
+    # emitter is row-rate-bound and ~29% of rows are out-of-frustum at the
+    # bench shape, so compacting valid rows to frac*K cuts backward scatter
+    # time; exact (cond-falls-back to the full scatter on overflow)
+    bp_grad_frac: Optional[float] = None
     # "dense": dense-masked pyramid (all voxels convolved, loss-masked);
     # "block": block-sparse fine levels — fixed-capacity active 8³ blocks,
     # back-projection/UNet/GRU run only on active blocks (ops/block_sparse.py),
@@ -163,7 +174,8 @@ class NeuralReconNet(nn.Module):
         bb_dt = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
         if self.backbone_mode == "batch":
             flat = imgs.reshape((B * V,) + imgs.shape[2:])
-            pyramid = nn.remat(_FPNBatch)(
+            FPN = nn.remat(_FPNBatch) if self.backbone_remat else _FPNBatch
+            pyramid = FPN(
                 alpha=self.alpha, norm=self.backbone_norm,
                 torch_pad=self.backbone_torch_pad, dtype=bb_dt,
                 name="backbone2d")(flat)
@@ -224,7 +236,7 @@ class NeuralReconNet(nn.Module):
                 f, cnt = back_project_sparse_batch(
                     feats, proj, vol_origin_partial, vidx, slot_valid,
                     dim=dim, voxel_size=self.voxel_size, interval=interval,
-                    gather_dtype=gdt)
+                    gather_dtype=gdt, grad_row_frac=self.bp_grad_frac)
                 Cb = f.shape[-1]
                 volume_b = f.reshape(B, maxb, bs, bs, bs, Cb)
                 cnt_b = cnt.reshape(B, maxb, bs, bs, bs)
@@ -314,11 +326,13 @@ class NeuralReconNet(nn.Module):
                 up_mask = _up2(prev_mask[..., None])[..., 0]
                 volume, count = back_project_masked_batch(
                     feats, proj, vol_origin_partial, up_mask, cap,
-                    dim, self.voxel_size, interval, gather_dtype=gdt)
+                    dim, self.voxel_size, interval, gather_dtype=gdt,
+                    grad_row_frac=self.bp_grad_frac)
             else:
                 volume, count = back_project_batch(
                     feats, proj, vol_origin_partial, dim, self.voxel_size,
-                    interval, gather_dtype=gdt)
+                    interval, gather_dtype=gdt,
+                    grad_row_frac=self.bp_grad_frac)
             count_mask = count > 1  # seen by >1 view (neucon_network.py:132)
 
             parts = [volume]
@@ -403,6 +417,7 @@ class NeuralRecon(BaseFramework):
         self.backbone_freeze = bool(bb2d.get("FREEZE", False))
         self.backbone_dtype = bb2d.get("DTYPE")
         self.backbone_mode = bb2d.get("MODE", "scan")
+        self.backbone_remat = bool(bb2d.get("REMAT", True))
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
         # active-voxel capacity at level i = 8x the previous level's
         # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
@@ -423,6 +438,7 @@ class NeuralRecon(BaseFramework):
                 max_blocks[i] = -(-int(self.num_sample[i]) // self.block_size ** 3)
         self.max_blocks = tuple(cfg.get("MAX_BLOCKS", max_blocks))
         self.block_dtype = cfg.get("BLOCK_DTYPE")
+        self.bp_grad_frac = cfg.get("BP_GRAD_FRAC")
         # global hidden-state extent per scale, in that scale's voxel units
         self.global_dims = tuple(cfg.get("GLOBAL_DIMS",
                                          [self.n_vox // 2 ** (self.n_layers - 1 - s)
@@ -443,21 +459,31 @@ class NeuralRecon(BaseFramework):
             backbone_freeze=self.backbone_freeze,
             backbone_dtype=self.backbone_dtype,
             backbone_mode=self.backbone_mode,
+            backbone_remat=self.backbone_remat,
             fusion_on=self.fusion_on, out_channels=self.out_channels,
             thresholds=self.thresholds, num_sample=self.num_sample,
             sparse_mode=self.sparse_mode, block_size=self.block_size,
-            max_blocks=self.max_blocks, block_dtype=self.block_dtype)
-        # inference runs the batched-views backbone by default (numerically
-        # identical, shares the param tree; r4 chip A/B: 30.8 -> 24.1 ms at
-        # the 9-view bench shape — no scan stacking copies, V x larger conv
-        # batches).  Training keeps the scanned form: per-view remat bounds
-        # 2D activation memory and the train step measured equal either way.
-        self.backbone_infer_mode = bb2d.get("INFER_MODE", "batch")
-        if self.backbone_infer_mode == self.backbone_mode:
+            max_blocks=self.max_blocks, block_dtype=self.block_dtype,
+            bp_grad_frac=self.bp_grad_frac)
+        # inference-trunk mode: "batch" folds the V views into one conv batch
+        # (numerically identical params, r4 chip A/B: 30.8 -> 24.1 ms at the
+        # 9-view bench shape — no scan stacking copies, V x larger conv
+        # batches) and is what perf configs set.  The DEFAULT follows the
+        # configured train MODE so parity-sensitive eval of existing configs
+        # and torch-imported checkpoints keeps the numerics it was validated
+        # under (feature-sum associativity can flip borderline occupancy-mask
+        # bits between the two trunks) — batched inference is opt-in.
+        self.backbone_infer_mode = bb2d.get("INFER_MODE", self.backbone_mode)
+        # the inference net always keeps the remat annotation: there is no
+        # backward to rematerialize for, and the r5 chip A/B measured the
+        # remat-annotated batched trunk FASTER in pure forward too (23.9 vs
+        # 30.7 ms — the checkpoint boundary steers XLA's fusion grouping)
+        if (self.backbone_infer_mode == self.backbone_mode
+                and self.backbone_remat):
             self.net_infer = self.net
         else:
             self.net_infer = self.net.clone(
-                backbone_mode=self.backbone_infer_mode)
+                backbone_mode=self.backbone_infer_mode, backbone_remat=True)
 
     def _graft_backbone(self, params, ckpt_path):
         """Graft an imported MnasFPN param tree (tools/import_weights.py

@@ -50,7 +50,7 @@ def main():
         N_LAYER=3, N_VOX=[args.n_vox] * 3, VOXEL_SIZE=voxel_size,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
         FUSION=dict(FUSION_ON=True, FULL=True),
-        BACKBONE2D=dict(ARC="fpn-mnas-1")))
+        BACKBONE2D=dict(ARC="fpn-mnas-1", INFER_MODE="batch")))
 
     if args.scannet:
         from deep3dmap_tpu.datasets.scannet import ScanNetDataset

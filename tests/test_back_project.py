@@ -130,8 +130,10 @@ def test_packed_gather_custom_vjp_matches_auto():
         rs.randint(0, HW, (S, K)) + np.arange(S)[:, None] * HW, jnp.int32)
     cot = jnp.asarray(rs.randn(S * K, C), jnp.float32)
 
+    valid = jnp.ones((S, K), bool)
+
     def f_custom(t):
-        return (_packed_gather(t, idx, HW) * cot).sum()
+        return (_packed_gather(t, idx, valid, HW) * cot).sum()
 
     def f_auto(t):
         return (jnp.take(t, idx.reshape(-1), axis=0) * cot).sum()
@@ -140,3 +142,70 @@ def test_packed_gather_custom_vjp_matches_auto():
     g_auto = jax.grad(f_auto)(table)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_packed_gather_capped_vjp_exact():
+    """grad_cap compaction must stay exact: compacted segments, segments
+    overflowing the cap (cond fallback to the full scatter), and masked
+    (invalid -> zero-cotangent) rows all match the plain gather VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3dmap_tpu.ops.back_project import _packed_gather
+
+    rs = np.random.RandomState(1)
+    S, HW, K, C = 4, 40, 24, 8
+    table = jnp.asarray(rs.randn(S * HW, C), jnp.float32)
+    idx = jnp.asarray(
+        rs.randint(0, HW, (S, K)) + np.arange(S)[:, None] * HW, jnp.int32)
+    # segment 0: few valid (compacted path); segment 1: all valid (overflow
+    # -> full fallback); 2/3: mixed around the cap boundary
+    valid = np.zeros((S, K), bool)
+    valid[0, :5] = True
+    valid[1, :] = True
+    valid[2, ::2] = True
+    valid[3, :12] = True
+    valid = jnp.asarray(valid)
+    cot = jnp.asarray(rs.randn(S * K, C), jnp.float32)
+    # CONTRACT: invalid rows carry zero cotangent (the production chain
+    # multiplies consumers by `valid`)
+    cot = cot * valid.reshape(S * K, 1)
+    cap = 12
+
+    def f_capped(t):
+        return (_packed_gather(t, idx, valid, HW, cap) * cot).sum()
+
+    def f_auto(t):
+        return (jnp.take(t, idx.reshape(-1), axis=0) * cot).sum()
+
+    g_capped = jax.jit(jax.grad(f_capped))(table)
+    g_auto = jax.grad(f_auto)(table)
+    np.testing.assert_allclose(np.asarray(g_capped), np.asarray(g_auto),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_back_project_grad_row_frac_matches_unfracced(rng):
+    """back_project_sparse_batch gradients are identical with and without
+    the grad_row_frac backward compaction."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3dmap_tpu.ops.back_project import back_project_sparse_batch
+
+    feats, proj, origin = _random_setup(rng, V=3, H=12, W=16, C=5)
+    dim = 6
+    K = 30
+    flat_idx = jnp.asarray(rng.randint(0, dim ** 3, (1, K)), jnp.int32)
+    slot_valid = jnp.asarray(rng.rand(1, K) > 0.2)
+
+    def loss(f, frac):
+        feat, cnt = back_project_sparse_batch(
+            f, jnp.asarray(proj)[None], jnp.asarray(origin)[None], flat_idx,
+            slot_valid, dim, 0.08, 1, grad_row_frac=frac)
+        return (feat ** 2).sum() + cnt.sum()
+
+    f = jnp.asarray(feats)[None]
+    g_plain = jax.grad(lambda f: loss(f, None))(f)
+    g_frac = jax.jit(lambda f: jax.grad(lambda x: loss(x, 0.5))(f))(f)
+    np.testing.assert_allclose(np.asarray(g_frac), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-5)

@@ -1,14 +1,14 @@
-"""Chip A/B: 2D backbone `scan` (per-view nn.scan) vs `batch` (views folded
-into the conv batch) at the production bench shape.
+"""Chip A/B: back-projection scatter-VJP valid-row compaction
+(BP_GRAD_FRAC) at the production bench shape.
 
-The scanned form minimizes activation memory but pays output-stacking layout
-copies every view (r4 trace: ~1.9 ms/step VMEM-write-bound `copy` ops at
-9 views) and runs each conv at batch 1.  The batched form runs each conv at
-batch V.  Usage: python tools/ab_backbone_mode.py
+The r4 trace showed the per-view scatter VJPs (`fusion.16977/.16981/.16986`)
+at 12.8 ms/step, row-rate-bound; ~29% of rows are out-of-frustum on the
+bench sample, so compacting the backward to valid rows (exact — cond falls
+back to the full scatter on overflow) should cut scatter time by the invalid
+fraction.  Usage: python tools/ab_scatter_cap.py [frac ...]
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,14 +21,16 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import numpy as np
 import optax
 
+from bench import _compile_and_time
 from deep3dmap_tpu.datasets.builder import _stack_samples
 from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
 from deep3dmap_tpu.models.frameworks.neuralrecon import NeuralRecon
 
 
-def build(mode, remat=True):
+def build(frac):
     model_cfgs = dict(
         N_LAYER=3, N_VOX=[96, 96, 96], VOXEL_SIZE=0.04,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
@@ -36,37 +38,25 @@ def build(mode, remat=True):
         THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5,
         SPARSE_MODE="block", BLOCK_SIZE=8,
         GLOBAL_DTYPE="bfloat16", BLOCK_DTYPE="bfloat16",
-        BACKBONE2D=dict(ARC="fpn-mnas-1", DTYPE="bfloat16", MODE=mode,
-                        INFER_MODE=mode, REMAT=remat))
+        BACKBONE2D=dict(ARC="fpn-mnas-1", DTYPE="bfloat16", MODE="batch",
+                        REMAT=False, INFER_MODE="batch"))
+    if frac is not None:
+        model_cfgs["BP_GRAD_FRAC"] = frac
     return NeuralRecon(model_cfgs)
 
 
-# shared hardened timer: salted best-of-2 (defeats remote-runtime call dedup
-# without re-registering the big buffers; guards against dispatch hiccups)
-from bench import _compile_and_time as time_compiled  # noqa: E402
-
-
 def main():
+    fracs = [None] + [float(a) for a in sys.argv[1:]] or [None, 0.75]
+    if len(fracs) == 1:
+        fracs = [None, 0.625, 0.75, 0.875]
     n_views = 9
     sample = make_fragment_sample(seed=0, n_views=n_views, img_size=(480, 640),
                                   n_vox=96, voxel_size=0.04)
     batch = jax.device_put(_stack_samples([sample]))
 
-    for mode, remat in (("scan", True), ("batch", True), ("batch", False)):
-        fw = build(mode, remat)
+    for frac in fracs:
+        fw = build(frac)
         params, mstate = fw.init(jax.random.PRNGKey(0), batch)
-
-        iters = 10
-
-        def stream(params, mstate, batch):
-            def body(carry, _):
-                out, new_state = fw.forward_test(params, carry, batch)
-                return new_state, out["tsdf"].sum()
-            mstate, sums = jax.lax.scan(body, mstate, None, length=iters)
-            return sums.sum()
-
-        infer_dt = time_compiled(stream, params, mstate, batch, iters=iters)
-
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
         opt_state = tx.init(params)
         rng0 = jax.random.PRNGKey(1)
@@ -86,10 +76,9 @@ def main():
                 length=train_iters)
             return losses.sum()
 
-        train_dt = time_compiled(train_stream, params, opt_state, mstate,
-                                 rng0, batch, iters=train_iters)
-        print(f"mode={mode:5s} remat={int(remat)}  infer {infer_dt*1e3:7.2f} ms "
-              f"({n_views/infer_dt:6.1f} kf/s)   train {train_dt*1e3:7.2f} ms "
+        train_dt = _compile_and_time(train_stream, params, opt_state, mstate,
+                                     rng0, batch, iters=train_iters)
+        print(f"BP_GRAD_FRAC={str(frac):6s}  train {train_dt*1e3:7.2f} ms "
               f"({n_views/train_dt:5.1f} kf/s)", flush=True)
 
 

@@ -225,7 +225,8 @@ def main():
         N_LAYER=3, N_VOX=[96, 96, 96], VOXEL_SIZE=0.04,
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
         FUSION=dict(FUSION_ON=True, FULL=True), LW=[1.0, 0.8, 0.64],
-        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5, BACKBONE2D=dict(ARC="fpn-mnas-1"),
+        THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5,
+        BACKBONE2D=dict(ARC="fpn-mnas-1", INFER_MODE="batch"),
         SPARSE_MODE="block", BLOCK_SIZE=8)
     if args.block_dtype:
         model_cfgs["BLOCK_DTYPE"] = args.block_dtype
