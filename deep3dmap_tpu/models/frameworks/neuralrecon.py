@@ -150,6 +150,11 @@ class NeuralReconNet(nn.Module):
     # conv compute dtype for the block UNet/GRU stacks ("bfloat16" halves
     # halo-gather bytes and MXU cycles; params/state stay float32)
     block_dtype: Optional[str] = None
+    # (mesh, axis[, batch_axis]) — §5.7 spatial sharding: dense-path GRU
+    # fusion runs via the explicit ppermute-halo cell (conv_gru3d.py),
+    # param-tree-identical to the unsharded cell.  Set via
+    # NeuralRecon.set_mesh(), not directly.
+    gru_spatial: Optional[Tuple] = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, vol_origin_partial,
@@ -367,8 +372,29 @@ class NeuralReconNet(nn.Module):
 
             if self.fusion_on:
                 h = hidden_windows[i]
-                feat = ConvGRU3D(self.out_channels[i], name=f"gru{i}")(h, feat)
-                outputs["new_hidden"].append(feat)
+                gru = ConvGRU3D(self.out_channels[i], name=f"gru{i}",
+                                spatial=self.gru_spatial)
+                if gru._halo_active():
+                    # §5.7 boundary discipline: the GRU runs spatially
+                    # sharded (halo shard_map) and the hidden VOLUME stays
+                    # sharded for storage, but the feat flow in/out is
+                    # pinned to data-parallel — otherwise the model-axis
+                    # sharding propagates into the UNet/backbone and
+                    # repartitions their GroupNorm reductions (measured:
+                    # systematic ~1e-2 drift vs the data-mesh run)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    mesh, axis = self.gru_spatial[0], self.gru_spatial[1]
+                    ba = (self.gru_spatial[2]
+                          if len(self.gru_spatial) > 2 else None)
+                    dp = NamedSharding(mesh, PartitionSpec(ba))
+                    feat = jax.lax.with_sharding_constraint(feat, dp)
+                    fused = gru(h, feat)
+                    outputs["new_hidden"].append(fused)
+                    feat = jax.lax.with_sharding_constraint(fused, dp)
+                else:
+                    feat = gru(h, feat)
+                    outputs["new_hidden"].append(feat)
 
             tsdf = nn.Dense(1, name=f"tsdf_pred{i}")(feat)
             occ = nn.Dense(1, name=f"occ_pred{i}")(feat)
@@ -474,16 +500,56 @@ class NeuralRecon(BaseFramework):
         # under (feature-sum associativity can flip borderline occupancy-mask
         # bits between the two trunks) — batched inference is opt-in.
         self.backbone_infer_mode = bb2d.get("INFER_MODE", self.backbone_mode)
+        self.net_infer = self._make_infer_net()
+        # §5.7 spatial sharding: set_mesh() activates the halo-GRU fusion
+        # path over this axis when the runner's mesh carries it
+        self.fusion_spatial_axis = fusion.get("SPATIAL_AXIS", "model")
+        self.mesh = None
+
+    def _make_infer_net(self):
         # the inference net always keeps the remat annotation: there is no
         # backward to rematerialize for, and the r5 chip A/B measured the
         # remat-annotated batched trunk FASTER in pure forward too (23.9 vs
         # 30.7 ms — the checkpoint boundary steers XLA's fusion grouping)
         if (self.backbone_infer_mode == self.backbone_mode
                 and self.backbone_remat):
-            self.net_infer = self.net
-        else:
-            self.net_infer = self.net.clone(
-                backbone_mode=self.backbone_infer_mode, backbone_remat=True)
+            return self.net
+        return self.net.clone(
+            backbone_mode=self.backbone_infer_mode, backbone_remat=True)
+
+    def set_mesh(self, mesh):
+        """Attach the device mesh; activates §5.7 spatial sharding when it
+        carries FUSION.SPATIAL_AXIS (default "model") with >1 devices.
+
+        The dense-path ConvGRU fusion then runs through the explicit
+        ppermute-halo cell (parallel/spatial.conv_gru3d_halo) on volumes
+        sharded over that axis — bitwise-equal to the unsharded cell, same
+        param tree.  Called by BaseRunner.setup()/tools/train.py; the
+        recurrent global volumes themselves are placed by
+        parallel.spatial.shard_global_volumes.  Returns True when the halo
+        path was activated.  Ref: the reference's single-GPU global volume
+        (gru_fusion.py:122-150) is THE scaling-critical state; SURVEY §5.7
+        names partitioned volume blocks the TPU-native answer."""
+        self.mesh = mesh
+        axis = self.fusion_spatial_axis
+        if (mesh is None or not self.fusion_on or axis is None
+                or axis not in mesh.axis_names or mesh.shape[axis] <= 1
+                or self.sparse_mode != "dense"):
+            return False
+        n = mesh.shape[axis]
+        dims = self._window_dims()
+        bad = [d for d in list(dims) + list(self.global_dims) if d % n]
+        if bad:
+            import logging
+
+            logging.getLogger("deep3dmap_tpu").warning(
+                "NeuralRecon.set_mesh: volume dims %s not divisible by "
+                "mesh['%s']=%d — spatial GRU sharding disabled", bad, axis, n)
+            return False
+        spatial = (mesh, axis, "data")
+        self.net = self.net.clone(gru_spatial=spatial)
+        self.net_infer = self._make_infer_net()
+        return True
 
     def _graft_backbone(self, params, ckpt_path):
         """Graft an imported MnasFPN param tree (tools/import_weights.py
@@ -595,11 +661,23 @@ class NeuralRecon(BaseFramework):
             mean, std = getattr(self, "img_norm", (0.0, 1.0))
             imgs = (imgs.astype(jnp.float32) / 255.0 - mean) / std
             batch = dict(batch, imgs=imgs)
-        hidden = self._read_hidden(model_state, batch)
         if self.fusion_on and "scene_reset" in batch:
             reset = batch["scene_reset"].astype(bool)
-            model_state = dict(model_state,
-                               global_hidden=reset_volumes(model_state["global_hidden"], reset))
+            dims = self._window_dims()
+            if all(self.global_dims[i] == dims[i] for i in range(self.n_layers)):
+                # windows cover the full extent: fold the reset into the read
+                # window instead of select-zeroing every full volume (r5
+                # trace: ~0.7 ms/step at 96³) — exact, because the windowed
+                # write fully overwrites the volumes, so no stale state
+                # survives outside the (whole-volume) window
+                hidden = self._read_hidden(model_state, batch)
+                keep = (~reset).reshape((-1,) + (1,) * 4)
+                hidden = [h * keep.astype(h.dtype) for h in hidden]
+            else:
+                model_state = dict(model_state, global_hidden=reset_volumes(
+                    model_state["global_hidden"], reset))
+                hidden = self._read_hidden(model_state, batch)
+        else:
             hidden = self._read_hidden(model_state, batch)
         out = net.apply(params, batch["imgs"], batch["proj_matrices"],
                         batch["vol_origin_partial"], batch["world_to_aligned_camera"],

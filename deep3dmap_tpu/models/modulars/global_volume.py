@@ -54,6 +54,10 @@ def read_window(volume: jnp.ndarray, rel_origin_vox: jnp.ndarray, window: int) -
     to the scene origin.
     """
     g = volume.shape[0]
+    if g == window:
+        # window covers the whole extent: the clamp forces start 0, so the
+        # slice is the identity (avoids a full-volume dynamic-slice copy)
+        return volume
     start = _clamp_start(rel_origin_vox, g, window)
     return jax.lax.dynamic_slice(
         volume, (start[0], start[1], start[2], 0),
@@ -64,6 +68,10 @@ def write_window(volume: jnp.ndarray, window_data: jnp.ndarray,
                  rel_origin_vox: jnp.ndarray) -> jnp.ndarray:
     g = volume.shape[0]
     w = window_data.shape[0]
+    if g == w:
+        # full overwrite: the vmapped dynamic-update-slice otherwise lowers
+        # to a whole-volume select (r5 trace: ~1 ms/step at 96³ x 24ch)
+        return window_data.astype(volume.dtype)
     start = _clamp_start(rel_origin_vox, g, w)
     return jax.lax.dynamic_update_slice(
         volume, window_data.astype(volume.dtype), (start[0], start[1], start[2], 0))

@@ -139,7 +139,9 @@ def dense_to_blocks(vol: jnp.ndarray, bset: BlockSet) -> jnp.ndarray:
     R = d * d * nb
     flat = vol.reshape(B * R, bs, C)
     rows = _line_rows(bset) + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
-    g = jnp.take(flat, rows.reshape(-1), axis=0)
+    # mode="clip": rows are in-range by construction; default fill mode
+    # would add a bounds select pass over the gathered blocks
+    g = jnp.take(flat, rows.reshape(-1), axis=0, mode="clip")
     maxb = bset.ids.shape[1]
     return g.reshape(B, maxb, bs, bs, bs, C)
 
@@ -197,7 +199,8 @@ def gather_halo(blocks: jnp.ndarray, bset: BlockSet, halo: int = 1) -> jnp.ndarr
                & (nz >= 0) & (nz < nb))
         nid = (jnp.clip(nx, 0, nb - 1) * nb + jnp.clip(ny, 0, nb - 1)) * nb \
             + jnp.clip(nz, 0, nb - 1)
-        ns = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(bset.slot_of, nid)
+        ns = jax.vmap(lambda s, i: jnp.take(s, i, axis=0, mode="clip"))(
+            bset.slot_of, nid)
         ns = jnp.where(inb, ns, -1)
         return jnp.where(bset.valid, ns, -1)  # (B, MAXB)
 
@@ -211,7 +214,8 @@ def gather_halo(blocks: jnp.ndarray, bset: BlockSet, halo: int = 1) -> jnp.ndarr
         table = jnp.concatenate([src, zero], axis=1)  # (B, MAXB+1, ...)
         s = slot_for(dx, dy, dz)
         safe = jnp.where(s >= 0, s, maxb)
-        return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(table, safe)
+        return jax.vmap(lambda t, i: jnp.take(t, i, axis=0, mode="clip"))(
+            table, safe)
 
     offs = (-1, 0, 1)
     xs = []
@@ -335,12 +339,12 @@ def gather_parent_octants(parent_blocks: jnp.ndarray, parent_bset: BlockSet,
 
     cx, cy, cz = _decode_ids(child_bset.ids, nb * 2)
     pid = ((cx // 2) * nb + (cy // 2)) * nb + (cz // 2)
-    pslot = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(
+    pslot = jax.vmap(lambda s, i: jnp.take(s, i, axis=0, mode="clip"))(
         parent_bset.slot_of, pid)  # (B, MAXB_c), -1 if parent inactive
     olin = (cx % 2) * 4 + (cy % 2) * 2 + (cz % 2)
     row = pslot * 8 + olin
     row = jnp.where((pslot >= 0) & child_bset.valid, row, maxb_p * 8)
-    return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(table, row)
+    return jax.vmap(lambda t, i: jnp.take(t, i, axis=0, mode="clip"))(table, row)
 
 
 def block_voxel_indices(bset: BlockSet) -> jnp.ndarray:

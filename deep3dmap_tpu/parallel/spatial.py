@@ -59,6 +59,28 @@ def shard_global_volumes(model_state, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map_with_path(_put, model_state)
 
 
+def shard_train_state(state, mesh: Mesh, axis: Optional[str] = "model",
+                      batch_axis: str = "data"):
+    """Place a TrainState on the mesh: params/opt/rng/step replicated, the
+    recurrent model_state volumes spatially sharded (``shard_global_volumes``)
+    — the production placement `tools/train.py` reaches through
+    ``BaseRunner.setup`` when cfg.mesh declares a ``model`` axis."""
+    repl = NamedSharding(mesh, P())
+
+    def _repl(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), tree)
+
+    return state.replace(
+        params=_repl(state.params),
+        opt_state=_repl(state.opt_state),
+        model_state=shard_global_volumes(state.model_state, mesh, axis=axis,
+                                         batch_axis=batch_axis),
+        rng=jax.device_put(state.rng, repl),
+        step=jax.device_put(jnp.asarray(state.step), repl),
+    )
+
+
 def tsdf_fuse_frames_sharded(depth_ims, cam_intrs, cam_poses, origin,
                              params: TSDFParams, mesh: Mesh, axis: str = "x"):
     """TSDF fusion with the volume sharded on X over ``axis`` — each device
@@ -120,7 +142,8 @@ def _halo_conv3d(x_blk, kernel, bias, axis_name: str):
     return out + bias
 
 
-def conv_gru3d_halo(gru_params, h, x, mesh: Mesh, axis: str = "model"):
+def conv_gru3d_halo(gru_params, h, x, mesh: Mesh, axis: str = "model",
+                    batch_axis: Optional[str] = None):
     """ConvGRU3D fusion with the hidden volume sharded on its X axis and
     *explicit* halo exchange before every gate conv (the §5.7 halo design,
     rather than leaving boundary windows to XLA's generated collectives).
@@ -128,7 +151,8 @@ def conv_gru3d_halo(gru_params, h, x, mesh: Mesh, axis: str = "model"):
     gru_params: the ``ConvGRU3D`` param collection ({'convzr': {'kernel',
     'bias'}, 'convq': ...}; z and r share one fused conv, conv_gru3d.py).
     h (B, GX, GY, GZ, Ch) hidden and x (B, GX, GY, GZ, Cx) input volumes;
-    GX must divide mesh.shape[axis].
+    GX must divide mesh.shape[axis].  ``batch_axis`` additionally shards the
+    leading batch dim (the production data axis) — halos only ride ``axis``.
 
     Exact: each gate conv sees true neighbor data, so the result equals the
     single-device ConvGRU3D apply on the full volume.
@@ -145,7 +169,9 @@ def conv_gru3d_halo(gru_params, h, x, mesh: Mesh, axis: str = "model"):
         q = jnp.tanh(_halo_conv3d(rhx, pq["kernel"], pq["bias"], axis))
         return (1.0 - z) * h_blk + z * q
 
-    spec = P(None, axis)
+    b = (batch_axis if batch_axis in mesh.axis_names
+         and mesh.shape[batch_axis] > 1 else None)
+    spec = P(b, axis)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(spec, spec, P(), P()),
                    out_specs=spec)

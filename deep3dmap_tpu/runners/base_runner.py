@@ -156,11 +156,31 @@ class BaseRunner:
                                   accumulate_steps=accumulate,
                                   paramwise_cfg=paramwise_cfg)
 
+        # §5.7: let the framework see the mesh BEFORE init — when cfg.mesh
+        # declares a spatial axis (e.g. ("data","model")), NeuralRecon routes
+        # its GRU fusion through the explicit halo cell over that axis
+        spatial_on = False
+        if hasattr(self.framework, "set_mesh"):
+            spatial_on = bool(self.framework.set_mesh(self.mesh))
+
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)
         batch = shard_batch(sample_batch, self.mesh)
         params, model_state = self.framework.init(init_rng, batch)
         self.state = TrainState.create(rng, params, self.tx, model_state)
+        if (self.mesh.devices.size > 1 and jax.process_count() == 1):
+            # place the state on the mesh: params/opt replicated, recurrent
+            # global volumes batch-sharded over 'data' and — only when the
+            # framework activated the §5.7 halo path — spatially sharded
+            # over 'model' (volumes sharded without the halo boundary would
+            # let the model axis repartition the rest of the graph).
+            # Multi-process placement stays with the per-host flow in
+            # parallel/mesh.shard_batch.
+            from ..parallel.spatial import shard_train_state
+
+            self.state = shard_train_state(
+                self.state, self.mesh,
+                axis="model" if spatial_on else None)
 
         n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
         self.logger.info(f"Initialized {type(self.framework).__name__}: "
