@@ -105,15 +105,21 @@ def _compile_and_time(fn, *args, iters):
     compiled = jax.jit(salted).lower(jnp.float32(0), *args).compile()
     out = compiled(jnp.float32(0), *args)   # warmup (first run allocates)
     jax.block_until_ready(out)
-    best = float("inf")
-    for i in (1, 2):
+    times = []
+    for i in (1, 2, 3):
         s = jax.device_put(jnp.float32(i))
         jax.block_until_ready(s)
         t0 = time.perf_counter()
         out = compiled(s, *args)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        times.append(time.perf_counter() - t0)
+    # the remote runtime intermittently completes a call's future early
+    # (r5: a 10-step scan "measured" 0.04 ms against 18.9 ms of traced
+    # device-busy time), so a bare min() can pick a phantom: discard
+    # samples under half the slowest before taking the min
+    hi = max(times)
+    real = [t for t in times if t >= 0.5 * hi] or times
+    return min(real) / iters
 
 
 def _cost_of(fn, *args):
@@ -127,6 +133,16 @@ def _cost_of(fn, *args):
 
 
 def main():
+    cpu_probe = "--cpu-probe" in sys.argv
+    if cpu_probe:
+        # same-harness CPU baseline (BASELINE.md "≥2x frames/s/chip vs CPU
+        # baseline" — recorded as a measured fact, not an inference): the
+        # parent bench invokes this file as a subprocess with
+        # D3M_PLATFORM=cpu; we time a short compiled inference scan and
+        # print one number
+        from deep3dmap_tpu.utils.misc import maybe_force_platform
+
+        maybe_force_platform()
     import jax
 
     _enable_compile_cache()
@@ -176,7 +192,7 @@ def main():
     # (recurrent state carried fragment-to-fragment) so per-dispatch
     # host/tunnel RPC latency does not masquerade as model time — matching
     # how a production streaming loop runs (async dispatch, pipelined input)
-    iters = 10
+    iters = 2 if cpu_probe else 10
 
 
     def stream(params, mstate, batch):
@@ -188,6 +204,9 @@ def main():
 
     infer_dt = _compile_and_time(stream, params, mstate, batch, iters=iters)
     kf_per_s = n_views / infer_dt
+    if cpu_probe:
+        print(json.dumps({"cpu_keyframes_per_s": round(kf_per_s, 3)}))
+        return
 
     def infer_once(params, mstate, batch):
         out, new_state = fw.forward_test(params, mstate, batch)
@@ -311,8 +330,22 @@ def main():
     peak_bw = _chip_peak_bw(jax.devices()[0])
     mfu = (train_flops / train_dt / peak) if (peak and train_flops > 0) else None
     infer_mfu = (infer_flops / infer_dt / peak) if (peak and infer_flops > 0) else None
-    bwu = (train_bytes / train_dt / peak_bw) if (peak_bw and train_bytes > 0) else None
-    infer_bwu = (infer_bytes / infer_dt / peak_bw) if (peak_bw and infer_bytes > 0) else None
+
+    # ---- same-harness CPU-backend probe (subprocess) ---------------------
+    cpu_kf = None
+    try:
+        import subprocess
+
+        env = dict(os.environ, D3M_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--cpu-probe"], capture_output=True, text=True,
+                           timeout=1500, env=env)
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                cpu_kf = json.loads(line).get("cpu_keyframes_per_s")
+                break
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "neuralrecon_keyframes_per_s",
@@ -327,14 +360,17 @@ def main():
         "chip_peak_bf16_flops": peak or None,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "infer_mfu": round(infer_mfu, 4) if infer_mfu is not None else None,
-        # cost-analysis BW figures (over-count reuse; kept for r3 continuity,
-        # clearly labeled) — trust the measured_* fields below instead
-        "xla_cost_hbm_bw_util": round(bwu, 4) if bwu is not None else None,
-        "xla_cost_infer_hbm_bw_util": round(infer_bwu, 4) if infer_bwu is not None else None,
+        # (the r3/r4 xla_cost_*_bw_util fields are gone: XLA cost-analysis
+        # "bytes accessed" double-counts reuse and printed >1.0 utilizations;
+        # the measured_* trace fields below are the trustworthy ones)
         "train_streaming_kf_per_s": round(streaming_kf_per_s, 2)
         if streaming_kf_per_s else None,
         "train_streaming_vs_pinned": round(streaming_ratio, 3)
         if streaming_ratio else None,
+        # measured same-harness CPU-backend inference rate (2-step scan,
+        # identical model/config) — the BASELINE.md "vs CPU" anchor
+        "cpu_keyframes_per_s": cpu_kf,
+        "vs_cpu": round(kf_per_s / cpu_kf, 1) if cpu_kf else None,
         **measured,
     }))
 

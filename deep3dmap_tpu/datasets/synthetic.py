@@ -199,3 +199,46 @@ class SyntheticScanNetDataset:
         if idx not in self._cache:
             self._cache[idx] = make_fragment_sample(seed=self.seed + idx, **self.kwargs)
         return self._cache[idx]
+
+
+def write_scannet_fixture(root, scene: str = "scene0707_00", n_frames: int = 10,
+                          splits=("test",), seed: int = 0, n_vox: int = 24,
+                          voxel_size: float = 0.08, img_size=(48, 64)):
+    """Materialize the synthetic SDF scene in ScanNet's on-disk layout.
+
+    Writes color/depth/pose/intrinsic per frame under ``scans[_test]/<scene>``
+    for each requested split plus the GT mesh (``<scene>_vh_clean_2.ply``)
+    from the fixture's GT TSDF — the input expected by
+    ``tools/data_gen/scannet.py`` and ``ScanNetDataset``.  Shared by the
+    eval-CLI regression test and ``tools/quality_regression.py``.
+    """
+    import os
+    import os.path as osp
+
+    import cv2
+
+    from ..core.utils.io_ply import write_ply
+    from ..core.utils.marching_cubes import tsdf_to_mesh
+
+    s = make_fragment_sample(seed=seed, n_views=n_frames, img_size=img_size,
+                             n_vox=n_vox, voxel_size=voxel_size)
+    for split in splits:
+        sub = "scans_test" if split == "test" else "scans"
+        d = osp.join(root, sub, scene)
+        for name in ("color", "depth", "pose", "intrinsic"):
+            os.makedirs(osp.join(d, name), exist_ok=True)
+        K4 = np.eye(4)
+        K4[:3, :3] = s["intrinsics"][0]
+        np.savetxt(osp.join(d, "intrinsic", "intrinsic_depth.txt"), K4)
+        for i in range(n_frames):
+            cv2.imwrite(osp.join(d, "color", f"{i}.jpg"),
+                        (s["imgs"][i] * 255).astype(np.uint8))
+            cv2.imwrite(osp.join(d, "depth", f"{i}.png"),
+                        (s["depth"][i] * 1000).astype(np.uint16))
+            np.savetxt(osp.join(d, "pose", f"{i}.txt"), s["extrinsics"][i])
+        verts, faces = tsdf_to_mesh(np.asarray(s["tsdf_list"][0]),
+                                    origin=np.asarray(s["vol_origin"]),
+                                    voxel_size=voxel_size)
+        assert len(verts) > 0
+        write_ply(osp.join(d, f"{scene}_vh_clean_2.ply"), verts, faces)
+    return s

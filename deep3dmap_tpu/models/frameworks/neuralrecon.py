@@ -445,14 +445,23 @@ class NeuralRecon(BaseFramework):
         self.backbone_mode = bb2d.get("MODE", "scan")
         self.backbone_remat = bool(bb2d.get("REMAT", True))
         self.out_channels = tuple(cfg.get("CHANNELS", (96, 48, 24)))
-        # active-voxel capacity at level i = 8x the previous level's
-        # TRAIN_NUM_SAMPLE cap (each occupied voxel upsamples to 8 children)
+        # active-voxel capacity per level.  A TRAIN_NUM_SAMPLE list of
+        # n_layers entries is the reference's own semantics — a PER-LEVEL
+        # voxel budget (configs/neural_recon/scannet.py:93 [4096, 16384,
+        # 65536] with neucon_network.py:190-194 subsampling level i to
+        # TRAIN_NUM_SAMPLE[i]); r1-r4 misread it as the parent level's cap
+        # and allocated 8x the parent budget (2x the reference's) at each
+        # fine level.  A list of n_layers-1 entries keeps that legacy
+        # parent-cap-x8 mapping (tiny test configs).
         train_ns = cfg.get("TRAIN_NUM_SAMPLE")
         num_sample = [None] * self.n_layers
         if train_ns is not None:
             for i in range(1, self.n_layers):
                 dim_i = self.n_vox // 2 ** (self.n_layers - 1 - i)
-                num_sample[i] = min(int(train_ns[i - 1]) * 8, dim_i ** 3)
+                if len(train_ns) >= self.n_layers:
+                    num_sample[i] = min(int(train_ns[i]), dim_i ** 3)
+                else:
+                    num_sample[i] = min(int(train_ns[i - 1]) * 8, dim_i ** 3)
         self.num_sample = tuple(cfg.get("NUM_SAMPLE", num_sample))
         # block-sparse fine levels (SPARSE_MODE="block"): capacity in blocks
         # defaults to the voxel budget / block volume

@@ -107,7 +107,24 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     rank-local slice of the global batch (DistributedSampler), so leaves are
     promoted with ``host_local_array_to_global_array`` — the local leading
     dim concatenates across processes into the global batch axis.
+
+    Non-numeric metadata (scene names, fragment ids — what the reference
+    carries through DataContainer metadata) cannot live on device: dict
+    entries whose leaves are not numeric arrays are DROPPED from the device
+    batch (the jitted step cannot take them either way; evaluation flows
+    keep metadata host-side, see tools/test.py split_meta).
     """
+    if isinstance(batch, dict):
+        def _numeric(v):
+            leaves = jax.tree_util.tree_leaves(v)
+            return leaves and all(
+                isinstance(l, (int, float, bool, np.number, np.bool_))
+                or (isinstance(l, np.ndarray) and l.dtype.kind in "bifuc")
+                or hasattr(l, "dtype") and getattr(l, "dtype", None) is not None
+                and np.dtype(l.dtype).kind in "bifuc"
+                for l in leaves)
+
+        batch = {k: v for k, v in batch.items() if _numeric(v)}
     spec = data_spec(mesh, axis)
 
     n_shards = mesh.shape.get(axis, 1)

@@ -62,35 +62,11 @@ model = dict(
 
 
 def _write_fixture_scene(root, scene="scene0707_00", n_frames=10):
-    """ScanNet test-split layout + GT mesh from the synthetic SDF scene."""
-    import cv2
+    """ScanNet test-split layout + GT mesh (shared fixture writer)."""
+    from deep3dmap_tpu.datasets.synthetic import write_scannet_fixture
 
-    from deep3dmap_tpu.core.utils.io_ply import write_ply
-    from deep3dmap_tpu.core.utils.marching_cubes import tsdf_to_mesh
-    from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
-
-    s = make_fragment_sample(seed=0, n_views=n_frames, img_size=(48, 64),
-                             n_vox=24, voxel_size=0.08)
-    d = osp.join(root, "scans_test", scene)
-    for sub in ("color", "depth", "pose", "intrinsic"):
-        os.makedirs(osp.join(d, sub), exist_ok=True)
-    K4 = np.eye(4)
-    K4[:3, :3] = s["intrinsics"][0]
-    np.savetxt(osp.join(d, "intrinsic", "intrinsic_depth.txt"), K4)
-    for i in range(n_frames):
-        cv2.imwrite(osp.join(d, "color", f"{i}.jpg"),
-                    (s["imgs"][i] * 255).astype(np.uint8))
-        cv2.imwrite(osp.join(d, "depth", f"{i}.png"),
-                    (s["depth"][i] * 1000).astype(np.uint16))
-        np.savetxt(osp.join(d, "pose", f"{i}.txt"), s["extrinsics"][i])
-
-    # GT mesh straight from the fixture's GT TSDF at the finest scale
-    verts, faces = tsdf_to_mesh(np.asarray(s["tsdf_list"][0]),
-                                origin=np.asarray(s["vol_origin"]),
-                                voxel_size=0.08)
-    assert len(verts) > 0
-    write_ply(osp.join(d, f"{scene}_vh_clean_2.ply"), verts, faces)
-    return s
+    return write_scannet_fixture(root, scene=scene, n_frames=n_frames,
+                                 splits=("test",))
 
 
 @pytest.mark.slow

@@ -142,19 +142,36 @@ def measured_step_stats(fn, args, trip_count, peak_bw, peak_flops,
 
     compiled = jax.jit(salted).lower(jnp.float32(0), *args).compile()
     jax.block_until_ready(compiled(jnp.float32(0), *args))  # warm
-    wall = float("inf")
-    for i in (1, 2):
+    times = []
+    for i in (1, 2, 3):
         s = jax.device_put(jnp.float32(i))
         jax.block_until_ready(s)
         t0 = time.perf_counter()
         jax.block_until_ready(compiled(s, *args))
-        wall = min(wall, (time.perf_counter() - t0) / trip_count)
+        times.append(time.perf_counter() - t0)
+    # discard phantom samples (the remote runtime intermittently completes
+    # a call's future early; r5: a 10-step scan "measured" 0.04 ms against
+    # 18.9 ms traced busy) before taking the min
+    hi = max(times)
+    real = [t for t in times if t >= 0.5 * hi] or times
+    wall = min(real) / trip_count
 
     tdir = trace_root or tempfile.mkdtemp(prefix="d3m_trace_")
-    paths = capture_trace(compiled, (jnp.float32(3),) + tuple(args), tdir,
+    paths = capture_trace(compiled, (jnp.float32(4),) + tuple(args), tdir,
                           warm=False)
     rows = parse_hlo_stats(paths)
-    return summarize(rows, trip_count, wall, peak_bw, peak_flops)
+    s = summarize(rows, trip_count, wall, peak_bw, peak_flops)
+    if s["busy_ms_per_step"] > s["step_wall_ms"]:
+        # device busy cannot exceed the call's wall time: the wall sample
+        # was a phantom after all — clamp and flag
+        s["wall_clamped_to_busy"] = True
+        s["step_wall_ms"] = s["busy_ms_per_step"]
+        wall_s = s["step_wall_ms"] / 1e3
+        if peak_bw:
+            s["bw_util_wall"] = s["bytes_per_step"] / wall_s / peak_bw
+        if peak_flops:
+            s["mfu_wall"] = s["flops_per_step"] / wall_s / peak_flops
+    return s
 
 
 def _fmt_md(summary, title, peak_bw, top_k=30):
@@ -226,7 +243,10 @@ def main():
         TRAIN_NUM_SAMPLE=[4096, 16384, 65536],
         FUSION=dict(FUSION_ON=True, FULL=True), LW=[1.0, 0.8, 0.64],
         THRESHOLDS=[0, 0, 0], POS_WEIGHT=1.5,
-        BACKBONE2D=dict(ARC="fpn-mnas-1", INFER_MODE="batch"),
+        # mirror bench.py's production config: batched-views trunk without
+        # remat for training (r5 A/B), batched trunk for inference
+        BACKBONE2D=dict(ARC="fpn-mnas-1", MODE="batch", REMAT=False,
+                        INFER_MODE="batch"),
         SPARSE_MODE="block", BLOCK_SIZE=8)
     if args.block_dtype:
         model_cfgs["BLOCK_DTYPE"] = args.block_dtype
