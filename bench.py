@@ -291,7 +291,10 @@ def main():
         streaming_kf_per_s = n_views / stream_dt
         streaming_ratio = streaming_kf_per_s / train_kf_per_s
     except Exception:
-        pass
+        import traceback
+
+        sys.stderr.write("bench: streaming section failed:\n"
+                         + traceback.format_exc())
 
     # ---- measured utilization from a device trace ------------------------
     # XLA cost-analysis "bytes accessed" double-counts reuse (r3: >100% of
@@ -324,7 +327,10 @@ def main():
             measured[f"{name}_device_busy_frac"] = round(
                 s["busy_ms_per_step"] / s["step_wall_ms"], 3)
     except Exception:
-        pass
+        import traceback
+
+        sys.stderr.write("bench: measured-trace section failed:\n"
+                         + traceback.format_exc())
 
     peak = _chip_peak_flops(jax.devices()[0])
     peak_bw = _chip_peak_bw(jax.devices()[0])

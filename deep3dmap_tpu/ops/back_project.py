@@ -83,7 +83,8 @@ def _packed_gather_bwd(hw, grad_cap, res, d_out):
     if grad_cap is None or grad_cap >= K:
         def body(_, args):
             ii, dd = args
-            return 0, jnp.zeros((hw, C), dd.dtype).at[ii].add(dd)
+            return 0, jnp.zeros((hw, C), dd.dtype).at[ii].add(
+                dd, mode="promise_in_bounds")
 
         _, d_table = jax.lax.scan(body, 0, (idx_local, d_seg))
         return d_table.reshape(S * hw, C), None, None
@@ -99,10 +100,12 @@ def _packed_gather_bwd(hw, grad_cap, res, d_out):
             m = jnp.arange(cap) < n
             rows = jnp.where(m, ii[sel], hw)  # padding slots -> dump row
             vals = dd[sel] * m[:, None].astype(dd.dtype)
-            return jnp.zeros((hw + 1, C), dd.dtype).at[rows].add(vals)[:hw]
+            return jnp.zeros((hw + 1, C), dd.dtype).at[rows].add(
+                vals, mode="promise_in_bounds")[:hw]
 
         def full(_):
-            return jnp.zeros((hw + 1, C), dd.dtype).at[ii].add(dd)[:hw]
+            return jnp.zeros((hw + 1, C), dd.dtype).at[ii].add(
+                dd, mode="promise_in_bounds")[:hw]
 
         return 0, jax.lax.cond(n <= cap, comp, full, 0)
 

@@ -158,12 +158,20 @@ def blocks_to_dense(blocks: jnp.ndarray, bset: BlockSet, fill=0.0) -> jnp.ndarra
     nb = bset.nb
     d = nb * bs
     R = d * d * nb
-    flat = jnp.full((B * R + 1, bs * C), fill, blocks.dtype)
+    n_slots = B * maxb * bs * bs
+    # every slot gets a DISTINCT row — real rows are unique z-lines and each
+    # padding slot gets its own scratch row past the volume — so the scatter
+    # honestly qualifies for unique_indices + promise_in_bounds, taking the
+    # vectorized emitter (r5 trace: the non-unique `set` path ran at 2 GiB/s
+    # / ~20M rows/s, ~0.4 ms per call at 96³)
+    flat = jnp.full((B * R + n_slots, bs * C), fill, blocks.dtype)
     rows = _line_rows(bset) + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
-    vals = blocks.reshape(B * maxb * bs * bs, bs * C)
+    vals = blocks.reshape(n_slots, bs * C)
     valid = jnp.repeat(bset.valid, bs * bs, axis=1)
-    safe = jnp.where(valid, rows, B * R).reshape(-1)
-    out = flat.at[safe].set(vals, mode="drop")[:-1]
+    safe = jnp.where(valid.reshape(-1), rows.reshape(-1),
+                     B * R + jnp.arange(n_slots, dtype=jnp.int32))
+    out = flat.at[safe].set(vals, unique_indices=True,
+                            mode="promise_in_bounds")[:B * R]
     return out.reshape(B, d, d, d, C)
 
 
@@ -243,14 +251,20 @@ def blocks_to_dense_over(blocks: jnp.ndarray, bset: BlockSet,
     R = d * d * nb
     # flat unique-row z-line scatter onto the existing volume — ~6x the
     # blocked-transpose formulation on chip (the transpose round-trips the
-    # whole dim³ array; this writes only the active blocks' rows)
+    # whole dim³ array; this writes only the active blocks' rows).  Padding
+    # slots land on distinct scratch rows so unique_indices holds honestly
+    # (the non-unique emitter measured 19 GiB/s here, r5 trace).
+    n_slots = B * maxb * bs * bs
     flat = base.reshape(B * R, bs * C)
-    flat = jnp.concatenate([flat, jnp.zeros((1, bs * C), base.dtype)], axis=0)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((n_slots, bs * C), base.dtype)], axis=0)
     rows = _line_rows(bset) + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
-    vals = blocks.reshape(B * maxb * bs * bs, bs * C).astype(base.dtype)
+    vals = blocks.reshape(n_slots, bs * C).astype(base.dtype)
     valid = jnp.repeat(bset.valid, bs * bs, axis=1)
-    safe = jnp.where(valid, rows, B * R).reshape(-1)
-    out = flat.at[safe].set(vals, mode="drop")[:-1]
+    safe = jnp.where(valid.reshape(-1), rows.reshape(-1),
+                     B * R + jnp.arange(n_slots, dtype=jnp.int32))
+    out = flat.at[safe].set(vals, unique_indices=True,
+                            mode="promise_in_bounds")[:B * R]
     return out.reshape(B, d, d, d, C)
 
 
