@@ -358,3 +358,44 @@ def test_backbone_batch_mode_matches_scan(batch, fw_and_state):
         want = np.stack([np.asarray(per_view[v][s]) for v in range(V)], 1)
         got = np.asarray(batched[s]).reshape(want.shape)
         np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
+
+
+def test_scene_reset_fold_matches_zeroed_state():
+    """r5 fast path: with GLOBAL_DIMS == window, scene_reset folds into the
+    read window (no full-volume select).  Resetting a dirty hidden state
+    must equal running from a freshly zeroed state."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep3dmap_tpu.datasets.builder import _stack_samples
+    from deep3dmap_tpu.datasets.synthetic import make_fragment_sample
+    from deep3dmap_tpu.models.frameworks.neuralrecon import NeuralRecon
+
+    fw = NeuralRecon(dict(N_LAYER=3, N_VOX=[16] * 3, VOXEL_SIZE=0.08,
+                          FUSION=dict(FUSION_ON=True, FULL=True),
+                          BACKBONE2D=dict(ARC="fpn-mnas-0.5")))
+    batch = _stack_samples([make_fragment_sample(
+        seed=0, n_views=2, img_size=(32, 32), n_vox=16, voxel_size=0.08)])
+    params, mstate = fw.init(jax.random.PRNGKey(0), batch)
+
+    # dirty the recurrent state, then reset via the batch flag
+    dirty = jax.tree_util.tree_map(lambda v: v + 3.0, mstate["global_hidden"])
+    mstate_dirty = dict(mstate, global_hidden=dirty)
+    b_reset = dict(batch, scene_reset=np.ones(1, np.float32))
+    out_reset, st_reset = jax.jit(fw._apply)(params, mstate_dirty, b_reset)
+    out_zero, st_zero = jax.jit(fw._apply)(params, mstate, b_reset)
+
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out_reset["tsdf"][i]),
+                                   np.asarray(out_zero["tsdf"][i]),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(st_reset["global_hidden"].volumes,
+                    st_zero["global_hidden"].volumes):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # and with reset=0 the dirty state must actually flow through
+    b_keep = dict(batch, scene_reset=np.zeros(1, np.float32))
+    out_keep, _ = jax.jit(fw._apply)(params, mstate_dirty, b_keep)
+    assert np.abs(np.asarray(out_keep["tsdf"][2])
+                  - np.asarray(out_reset["tsdf"][2])).max() > 1e-4
