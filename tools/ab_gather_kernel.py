@@ -4,7 +4,11 @@ production level-2 shape (V=9, K=131072 active voxels, per-view table
 
 r4's profile claimed the ~230 MB (V,K,4C) gather intermediate costs ~2 ms of
 the 21.4 ms inference step and that a Pallas kernel "cannot beat" XLA (citing
-the scatter-backward experiment).  This measures the actual candidates.
+the scatter-backward experiment).  This measures forward and backward of the
+plain-take vs production custom-vjp formulations; the Pallas candidates are
+not expressible in this Pallas/Mosaic version (no vectorized VMEM gather:
+`jnp.take`/`take_along_axis` fail to lower inside kernels, only `roll`
+exists) — see docs/perf_studies_r05.md for the full study.
 
 Methodology note (r5): single-dispatch timings over the remote-chip tunnel
 are unreliable — the first call after a warmup can read ~0 ms (async

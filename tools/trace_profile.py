@@ -226,6 +226,9 @@ def main():
     ap.add_argument("--top-k", type=int, default=30)
     ap.add_argument("--json", default=None,
                     help="also dump raw summaries to this json path")
+    ap.add_argument("--appendix", default=None,
+                    help="markdown file appended verbatim after the "
+                         "auto-generated tables (optimization studies)")
     args = ap.parse_args()
 
     import jax
@@ -327,6 +330,9 @@ def main():
         _fmt_md(train, "Training step (value_and_grad + adam, same shapes)",
                 peak_bw, args.top_k),
     ]
+    if args.appendix and os.path.exists(args.appendix):
+        with open(args.appendix) as f:
+            md.append(f.read())
     with open(args.out, "w") as f:
         f.write("\n".join(md))
     print(f"wrote {args.out}")
